@@ -1,0 +1,187 @@
+"""Experiment presets — the buildable model-variant matrix (SURVEY.md §2.8).
+
+Each preset maps to one reference trainer script and bundles
+(model config, training config, dataset name).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict
+
+from qavit_tpu.configs.model import BANK_V1, BankConfig, ModelConfig
+from qavit_tpu.configs.training import TrainingConfig
+
+
+@dataclass(frozen=True)
+class Preset:
+    model: ModelConfig
+    train: TrainingConfig
+    dataset: str
+
+
+def _qavit_224_v1() -> Preset:
+    """QAViT v1 @224 (QAViT.py:37-94): plain dwconv/CCFFFN, bank v1."""
+    model = ModelConfig(
+        name="qavit_224_v1",
+        img_size=224, patch_size=16, num_classes=100,
+        embed_dim=192, depth=8, num_heads=4,
+        window_size=7, dilation_factors=(1, 2, 3), linformer_k=64,
+        bank=BANK_V1,
+        stabilized_dwconv=False, stabilized_ccfffn=False,
+        hybrid=False, use_token_learner=False, stage_blocks=(8,),
+    )
+    train = TrainingConfig(
+        batch_size=64, epochs=200, warmup_epochs=10, base_lr=1e-3,
+        min_lr=1e-5, weight_decay=0.05, label_smoothing=0.1,
+        max_grad_norm=1.0, subtree_clip_norm=None, use_ema=False,
+        use_mixup=False, use_cutmix=False,
+    )
+    return Preset(model, train, "cifar100_224")
+
+
+def _qavit_v2() -> Preset:
+    """QAViTv2 @224 (QAViTv2.py:1011): stabilised dwconv/CCFFFN, bank v2."""
+    p = _qavit_224_v1()
+    model = p.model.replace(
+        name="qavit_v2", bank=BankConfig(),
+        stabilized_dwconv=True, stabilized_ccfffn=True,
+    )
+    return Preset(model, p.train, "cifar100_224")
+
+
+def _qavit_v2_c100() -> Preset:
+    """QAViTv2-C100 @32 (QAViTv2_CIFAR100.py:41): small-input config."""
+    model = ModelConfig(
+        name="qavit_v2_c100",
+        img_size=32, patch_size=4, num_classes=100,
+        embed_dim=192, depth=8, num_heads=4,
+        window_size=4, dilation_factors=(1, 2), linformer_k=32,
+        hybrid=False, use_token_learner=False, stage_blocks=(8,),
+    )
+    train = TrainingConfig(
+        batch_size=256, epochs=300, warmup_epochs=20, base_lr=6e-4,
+        weight_decay=0.05, label_smoothing=0.1, max_grad_norm=1.0,
+        subtree_clip_norm=None, use_ema=False,
+        use_mixup=False, use_cutmix=False,
+    )
+    return Preset(model, train, "cifar100")
+
+
+def _qavit_v2_extreme() -> Preset:
+    """QAViTv2-EXTREME @32 (QAViTV2_EXTREME.py:41,1259): DeiT aug + bf16 +
+    per-layer dwconv clip + single-draw mixup/cutmix split."""
+    p = _qavit_v2_c100()
+    model = p.model.replace(name="qavit_v2_extreme")
+    train = p.train.replace(
+        use_mixup=True, use_cutmix=True, mix_style="extreme",
+        mixup_alpha=0.2, cutmix_alpha=1.0, mixup_prob=0.8, cutmix_prob=0.2,
+        max_grad_norm=1.0, subtree_clip_norm=0.1,
+        subtree_clip_keys=("dwconv",),
+    )
+    return Preset(model, train, "cifar100_deit")
+
+
+def _hqavit_c100() -> Preset:
+    """HQA-ViT CIFAR-100 flagship (HQAViT_CIFAR100.py:43-123)."""
+    model = ModelConfig(name="hqavit_c100")
+    train = TrainingConfig()
+    return Preset(model, train, "cifar100_hqa")
+
+
+def _hqavit_v2_c100() -> Preset:
+    """HQAViTv2 (HQAViTv2_CIFAR100.py): ConvNeXt-Tiny patchify stem."""
+    p = _hqavit_c100()
+    return Preset(p.model.replace(name="hqavit_v2_c100", stem_kind="convnext"),
+                  p.train, "cifar100_hqa")
+
+
+def _hqavit_tiny_in() -> Preset:
+    """HQAViT-IN-Tiny @64 (HQAViT_IN_Tiny.py:49-84): depth 12 [2,2,6,2],
+    64 learned tokens, 200 classes."""
+    model = ModelConfig(
+        name="hqavit_tiny_in",
+        img_size=64, patch_size=4, num_classes=200,
+        depth=12, drop_path=0.2, num_learned_tokens=64,
+        stage_blocks=(2, 2, 6, 2),
+    )
+    train = TrainingConfig(batch_size=128, epochs=300, warmup_epochs=15,
+                           base_lr=5e-4)
+    return Preset(model, train, "tiny_imagenet")
+
+
+def _hqavit_c100_finetune() -> Preset:
+    """CIFAR-100 finetune (HQAViT_C100_Finetune.py): warm-restart schedule,
+    layer-wise LR, TTA."""
+    p = _hqavit_c100()
+    train = p.train.replace(
+        epochs=50, warmup_epochs=3, base_lr=1e-4, schedule="warm_restarts",
+        lr_groups="layerwise", mix_prob=0.5,
+    )
+    return Preset(p.model.replace(name="hqavit_c100_finetune"), train,
+                  "cifar100_hqa")
+
+
+def _hqavit_tiny_cifar10() -> Preset:
+    """CIFAR-10 transfer (HQAViT_Tiny_Cifar10.py): head swap to 10 classes,
+    differential LR, cosine schedule."""
+    p = _hqavit_c100()
+    model = p.model.replace(name="hqavit_tiny_cifar10", num_classes=10)
+    train = p.train.replace(
+        epochs=100, warmup_epochs=5, base_lr=5e-5, schedule="cosine",
+        lr_groups="differential", head_lr_multiplier=10.0, batch_size=256,
+    )
+    return Preset(model, train, "cifar10")
+
+
+def _hqavit_tiny_stl10() -> Preset:
+    """STL-10 transfer @96 (HQAViT_Tiny_stl10.py): pos-embed resize 8->24,
+    10 classes, differential LR.  Note the reference keeps TokenUpMix at the
+    construction-time N=64 tokens after the resize (SURVEY.md §3.5); we build
+    the model natively at 96 so TokenUpMix matches the real 576-token grid,
+    and provide the pos-embed interpolation for weight transfer."""
+    p = _hqavit_c100()
+    model = p.model.replace(name="hqavit_tiny_stl10", img_size=96,
+                            num_classes=10)
+    train = p.train.replace(
+        epochs=50, warmup_epochs=5, base_lr=5e-5, schedule="cosine",
+        lr_groups="differential", head_lr_multiplier=10.0, batch_size=128,
+    )
+    return Preset(model, train, "stl10")
+
+
+def _simclr_stl10() -> Preset:
+    """STL-10 SimCLR pretrain (script absent upstream; reconstructed from
+    logs_stl10_simclr metadata — SURVEY.md §0)."""
+    p = _hqavit_tiny_stl10()
+    train = p.train.replace(
+        epochs=100, warmup_epochs=5, base_lr=0.0424, schedule="cosine",
+        label_smoothing=0.0, use_mixup=False, use_cutmix=False,
+        lr_groups=None, use_ema=False, batch_size=256,
+    )
+    return Preset(p.model.replace(name="simclr_stl10"), train, "stl10_unlabeled")
+
+
+PRESETS = {
+    "qavit_224_v1": _qavit_224_v1,
+    "qavit_v2": _qavit_v2,
+    "qavit_v2_c100": _qavit_v2_c100,
+    "qavit_v2_extreme": _qavit_v2_extreme,
+    "hqavit_c100": _hqavit_c100,
+    "hqavit_v2_c100": _hqavit_v2_c100,
+    "hqavit_tiny_in": _hqavit_tiny_in,
+    "hqavit_c100_finetune": _hqavit_c100_finetune,
+    "hqavit_tiny_cifar10": _hqavit_tiny_cifar10,
+    "hqavit_tiny_stl10": _hqavit_tiny_stl10,
+    "simclr_stl10": _simclr_stl10,
+}
+
+
+def get_preset(name: str) -> Preset:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
+    return PRESETS[name]()
+
+
+def list_presets():
+    return sorted(PRESETS)

@@ -1,0 +1,83 @@
+"""Attention dispatch: XLA reference path + Pallas fused path.
+
+The XLA path is the numerics reference (replacement for the reference's
+``F.scaled_dot_product_attention`` fallback, QAViT.py:284) and is used for
+degenerate shapes (e.g. the channel-group branch's head_dim=4).  The Pallas
+path (:mod:`qavit_tpu.kernels.flash_attention`) replaces the flash-attn CUDA
+kernels (QAViT.py:26-30) and fuses QK^T + softmax + dropout + PV in VMEM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from qavit_tpu.kernels.flash_attention import flash_attention
+
+
+def xla_attention(q, k, v, dropout_rate: float = 0.0,
+                  deterministic: bool = True,
+                  rng: Optional[jax.Array] = None):
+    """Scaled dot-product attention with fp32 softmax.
+
+    Args:
+      q: [B, H, Nq, D]; k, v: [B, H, Nkv, D]
+    Returns:
+      [B, H, Nq, D] in q.dtype
+    """
+    d = q.shape[-1]
+    scale = 1.0 / (d ** 0.5)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+# Pallas needs head_dim padded to 128 lanes; below this the padding waste
+# makes XLA's batched dot_general the faster choice.
+_PALLAS_MIN_HEAD_DIM = 32
+_PALLAS_MIN_NQ = 128
+
+
+def use_pallas(q_shape, backend: Optional[str] = None) -> bool:
+    if backend is None:
+        backend = jax.default_backend()
+    if backend != "tpu":
+        return False
+    _, _, n_q, d = q_shape
+    return d >= _PALLAS_MIN_HEAD_DIM and n_q >= _PALLAS_MIN_NQ
+
+
+def attention(q, k, v, dropout_rate: float = 0.0, deterministic: bool = True,
+              rng: Optional[jax.Array] = None, impl: str = "auto"):
+    """Unified attention entry point (replaces ``efficient_attention``,
+    QAViT.py:259; the NaN guard lives in the caller, nn/branches.py).
+
+    Args:
+      q: [B, H, Nq, D]; k, v: [B, H, Nkv, D]
+      impl: "auto" | "xla" | "pallas"
+    """
+    if impl == "auto":
+        impl = "pallas" if use_pallas(q.shape) else "xla"
+    if impl == "xla":
+        return xla_attention(q, k, v, dropout_rate, deterministic, rng)
+
+    b, h, n_q, d = q.shape
+    n_kv = k.shape[2]
+    qf = q.reshape(b * h, n_q, d)
+    kf = k.reshape(b * h, n_kv, d)
+    vf = v.reshape(b * h, n_kv, d)
+    if dropout_rate > 0.0 and not deterministic:
+        seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1, jnp.int32)
+        out = flash_attention(qf, kf, vf, seed=seed,
+                              dropout_rate=dropout_rate)
+    else:
+        out = flash_attention(qf, kf, vf)
+    return out.reshape(b, h, n_q, d)
