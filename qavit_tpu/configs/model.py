@@ -105,6 +105,12 @@ class ModelConfig:
     # replacement for the reference's CUDA autocast (HQAViT_CIFAR100.py:1401).
     dtype: str = "bfloat16"
 
+    # NaN/Inf guard in the attention wrapper (zeroes the output when inputs
+    # or outputs contain NaN), matching efficient_attention QAViT.py:259-291.
+    guard_nans: bool = True
+    # attention kernel: "auto" (shape-based dispatch) | "xla" | "pallas"
+    attn_impl: str = "auto"
+
     def __post_init__(self):
         if self.embed_dim % self.num_heads:
             raise ValueError("embed_dim must divide num_heads")

@@ -1,0 +1,138 @@
+"""jit-compiled train / eval steps.
+
+The whole reference inner loop (HQAViT_CIFAR100.py:1366-1458) — mixing,
+bf16 forward, backward, two-level clipping, AdamW, scheduler, EMA and the
+bank's in-forward update — compiles into ONE XLA program per step: the TPU
+replacement for autocast + GradScaler + torch.compile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from qavit_tpu.configs.model import ModelConfig
+from qavit_tpu.configs.training import TrainingConfig
+from qavit_tpu.train.mix import apply_mix, mixed_loss, smoothed_cross_entropy
+from qavit_tpu.train.state import TrainState, ema_update, swap_bank
+
+
+def make_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
+                    schedule: Optional[Callable] = None,
+                    jit: bool = True):
+    """Build ``train_step(state, images, targets, rng) -> (state, metrics)``.
+
+    images: [B, H, W, C] normalised float32; targets: [B] int32.
+    """
+
+    def train_step(state: TrainState, images, targets, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        rng_mix, rng_dropout = jax.random.split(rng)
+        batch = apply_mix(rng_mix, images, targets, tc)
+
+        has_bn = bool(state.batch_stats)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+            out = model.apply(variables, batch.images, train=True,
+                              bank_count=state.bank_count,
+                              rngs={"dropout": rng_dropout},
+                              mutable=["batch_stats"] if has_bn else [])
+            if has_bn:
+                (logits, bank), mut = out
+                new_bs = mut["batch_stats"]
+            else:
+                logits, bank = out
+                new_bs = state.batch_stats
+            loss = mixed_loss(logits, batch, mc.num_classes,
+                              tc.label_smoothing)
+            return loss, (logits, bank, new_bs)
+
+        (loss, (logits, bank, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        grad_norm = optax.global_norm(grads)
+
+        # torch order: the bank's forward-time update is already in the
+        # params when optimizer.step() runs (HQAViT_CIFAR100.py:315-321 vs
+        # :1436)
+        params = swap_bank(state.params, bank)
+        updates, opt_state = tx.update(grads, state.opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        if state.ema_params is not None:
+            new_ema = ema_update(state.ema_params, new_params,
+                                 state.ema_decay)
+            new_ema_bs = new_bs  # buffers copied, not averaged (:151-156)
+        else:
+            new_ema, new_ema_bs = None, None
+
+        preds = jnp.argmax(logits, axis=-1)
+        # accuracy is measured against the un-mixed targets, as in the
+        # reference (HQAViT_CIFAR100.py:1445-1448)
+        correct = (preds == targets).sum()
+
+        metrics = {
+            "loss": loss,
+            "correct": correct,
+            "count": jnp.asarray(targets.shape[0], jnp.int32),
+            "grad_norm": grad_norm,
+            "param_norm": optax.global_norm(new_params),
+        }
+        if schedule is not None:
+            metrics["lr"] = schedule(state.step)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=opt_state,
+            batch_stats=new_bs,
+            ema_params=new_ema,
+            ema_batch_stats=new_ema_bs,
+            bank_count=bank.count,
+        )
+        return new_state, metrics
+
+    if jit:
+        donate = (0,) if tc.donate else ()
+        train_step = jax.jit(train_step, donate_argnums=donate)
+    return train_step
+
+
+def make_eval_step(model, mc: ModelConfig, jit: bool = True,
+                   use_ema: bool = False):
+    """Build ``eval_step(state, images, targets) -> metrics`` computing
+    summed loss / top-1 / top-5 for host-side aggregation
+    (validate HQAViT_CIFAR100.py:1461-1482; top-5 test_hqa.py:133-164)."""
+
+    def eval_step(state: TrainState, images, targets):
+        params = state.ema_params if use_ema else state.params
+        bs = state.ema_batch_stats if use_ema else state.batch_stats
+        variables = {"params": params}
+        if bs:
+            variables["batch_stats"] = bs
+        logits, _ = model.apply(variables, images, train=False,
+                                bank_count=state.bank_count)
+        # validation loss uses plain CE (no smoothing), as in the reference
+        loss = smoothed_cross_entropy(logits, targets, mc.num_classes,
+                                      0.0)
+        top1 = (jnp.argmax(logits, -1) == targets).sum()
+        top5_preds = jax.lax.top_k(logits, 5)[1]
+        top5 = (top5_preds == targets[:, None]).any(axis=-1).sum()
+        return {
+            "loss_sum": loss.sum(),
+            "top1": top1,
+            "top5": top5,
+            "count": jnp.asarray(targets.shape[0], jnp.int32),
+            "logits": logits,
+        }
+
+    if jit:
+        eval_step = jax.jit(eval_step)
+    return eval_step
