@@ -1,0 +1,152 @@
+"""Orbax checkpointing with true step-level resume.
+
+The reference only ever torch.save's nested dicts and re-loads them for
+eval/transfer — no run ever resumes optimizer state (SURVEY.md §5.4).
+Here the full TrainState {params, opt_state, batch_stats, EMA, bank
+counter, step} plus both configs round-trips through orbax, giving real
+preemption-safe resume; best/best_ema/periodic retention mirrors the
+reference's file layout (HQAViT_CIFAR100.py:1687-1741).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from qavit_tpu.configs.model import ModelConfig
+from qavit_tpu.configs.training import TrainingConfig
+from qavit_tpu.train.state import TrainState
+
+
+def _to_pytree(state: TrainState) -> Dict[str, Any]:
+    d = {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "batch_stats": state.batch_stats,
+        "bank_count": state.bank_count,
+        "ema_decay": state.ema_decay,
+    }
+    if state.ema_params is not None:
+        d["ema_params"] = state.ema_params
+        d["ema_batch_stats"] = state.ema_batch_stats
+    return d
+
+
+def save_train_state(path: str, state: TrainState,
+                     model_config: Optional[ModelConfig] = None,
+                     train_config: Optional[TrainingConfig] = None,
+                     metrics: Optional[Dict[str, float]] = None) -> None:
+    """Save a full training checkpoint (configs serialised alongside, as
+    the reference embeds them in the .pth dicts, test_hqa.py:62-74)."""
+    path = Path(path).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "state", _to_pytree(state))
+    meta = {"metrics": metrics or {}}
+    if model_config is not None:
+        meta["model_config"] = model_config.to_dict()
+    if train_config is not None:
+        meta["train_config"] = train_config.to_dict()
+    (path / "meta.json").write_text(json.dumps(meta, indent=2))
+
+
+def restore_train_state(path: str, template: TrainState
+                        ) -> Tuple[TrainState, Dict[str, Any]]:
+    """Restore a checkpoint into the shape/sharding of ``template``."""
+    path = Path(path).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path / "state", _to_pytree(template))
+    meta_file = path / "meta.json"
+    meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
+    state = template.replace(
+        step=restored["step"],
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        batch_stats=restored["batch_stats"],
+        bank_count=restored["bank_count"],
+        ema_decay=restored["ema_decay"],
+        ema_params=restored.get("ema_params", template.ema_params),
+        ema_batch_stats=restored.get("ema_batch_stats",
+                                     template.ema_batch_stats),
+    )
+    return state, meta
+
+
+def load_for_transfer(path: str, template_params,
+                      drop_head: bool = True,
+                      new_grid: Optional[int] = None):
+    """Load pretrained params for finetuning: optional head drop
+    ('head' not in k, HQAViT_Tiny_Cifar10.py:449-453) and positional
+    embedding resize (HQAViT_Tiny_stl10.py:250-283)."""
+    from qavit_tpu.nn.layers import resize_pos_embed
+
+    path = Path(path).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path / "state")
+    params = restored["params"]
+
+    out = jax.tree.map(lambda x: x, template_params)  # copy structure
+
+    def merge(dst, src, prefix=""):
+        for k, v in src.items():
+            if k not in dst:
+                continue
+            name = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                merge(dst[k], v, name)
+            else:
+                if drop_head and name.startswith("head"):
+                    continue
+                if name == "pos_embed" and v.shape != dst[k].shape:
+                    if new_grid is None:
+                        import math
+
+                        new_grid_ = int(math.isqrt(dst[k].shape[1]))
+                    else:
+                        new_grid_ = new_grid
+                    dst[k] = resize_pos_embed(jax.numpy.asarray(v),
+                                              new_grid_).astype(dst[k].dtype)
+                    continue
+                if v.shape == dst[k].shape:
+                    dst[k] = jax.numpy.asarray(v, dst[k].dtype)
+        return dst
+
+    return merge(out, params)
+
+
+class CheckpointManager:
+    """best / best_ema / periodic retention (HQAViT_CIFAR100.py:1687-1741)."""
+
+    def __init__(self, directory: str, model_config: ModelConfig,
+                 train_config: TrainingConfig, save_freq: int = 10):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.mc = model_config
+        self.tc = train_config
+        self.save_freq = save_freq
+        self.best_acc = 0.0
+        self.best_ema_acc = 0.0
+
+    def maybe_save(self, state: TrainState, epoch: int, val_acc: float,
+                   ema_val_acc: Optional[float] = None) -> Dict[str, bool]:
+        saved = {"best": False, "best_ema": False, "periodic": False}
+        if val_acc > self.best_acc:
+            self.best_acc = val_acc
+            save_train_state(self.dir / "best_model", state, self.mc,
+                             self.tc, {"epoch": epoch, "val_acc": val_acc})
+            saved["best"] = True
+        if ema_val_acc is not None and ema_val_acc > self.best_ema_acc:
+            self.best_ema_acc = ema_val_acc
+            save_train_state(self.dir / "best_model_ema", state, self.mc,
+                             self.tc,
+                             {"epoch": epoch, "ema_val_acc": ema_val_acc})
+            saved["best_ema"] = True
+        if self.save_freq and epoch % self.save_freq == 0:
+            save_train_state(self.dir / f"checkpoint_epoch_{epoch}", state,
+                             self.mc, self.tc, {"epoch": epoch})
+            saved["periodic"] = True
+        return saved

@@ -80,8 +80,10 @@ class TrainingConfig:
 
     # Misc
     seed: int = 42
-    # donate input buffers to the jitted step (torch.compile analogue)
-    donate: bool = True
+    # Donate the TrainState buffers to the jitted step.  Off by default:
+    # the axon remote-TPU backend deadlocks on donated buffers (verified
+    # empirically); enable on directly-attached TPUs for in-place updates.
+    donate: bool = False
 
     def replace(self, **kw) -> "TrainingConfig":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,69 @@
+"""Dataset-pipeline presets: (base dataset, train AugConfig) per reference
+trainer (SURVEY.md §2.6 transform table)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+from qavit_tpu.data.augment import AugConfig
+from qavit_tpu.data.datasets import STATS
+
+
+@dataclass(frozen=True)
+class PipelineSpec:
+    base_dataset: str            # key for load_dataset
+    aug: AugConfig
+    resize_to: Optional[int] = None   # device-side resize (e.g. 32 -> 224)
+
+
+def _spec(base, mean_std_key, **kw) -> PipelineSpec:
+    mean, std = STATS[mean_std_key]
+    resize = kw.pop("resize_to", None)
+    return PipelineSpec(base, AugConfig(mean=mean, std=std, **kw),
+                        resize_to=resize)
+
+
+PIPELINES = {
+    # QAViT.py:705-752 — Resize 224 + RandomCrop(224, 28) + HFlip
+    "cifar100_224": _spec("cifar100", "cifar100", crop_pad=28,
+                          resize_to=224),
+    # QAViTv2_CIFAR100 @32 — crop/flip only
+    "cifar100": _spec("cifar100", "cifar100", crop_pad=4),
+    # QAViTV2_EXTREME.py:1091-1151 — DeiT-style
+    "cifar100_deit": _spec("cifar100", "cifar100", crop_pad=4,
+                           randaug_ops=2, randaug_magnitude=9,
+                           erasing_prob=0.25),
+    # HQAViT_CIFAR100.py:1293-1302 — 450-epoch heavy pipeline
+    "cifar100_hqa": _spec("cifar100", "cifar100", crop_pad=4,
+                          rotation_deg=15.0,
+                          jitter=(0.5, 0.5, 0.5, 0.15), jitter_prob=0.9,
+                          randaug_ops=3, randaug_magnitude=10,
+                          erasing_prob=0.3, erasing_scale=(0.02, 0.4)),
+    # HQAViT_Tiny_Cifar10.py:261-324
+    "cifar10": _spec("cifar10", "cifar10", crop_pad=4, rotation_deg=15.0,
+                     jitter=(0.4, 0.4, 0.4, 0.1), jitter_prob=1.0,
+                     randaug_ops=2, randaug_magnitude=11,
+                     erasing_prob=0.3),
+    # HQAViT_Tiny_stl10.py:160-247 (GaussianBlur p=.25 pending)
+    "stl10": _spec("stl10", "stl10", rrc_scale=(0.6, 1.0),
+                   rotation_deg=15.0, jitter=(0.4, 0.4, 0.4, 0.1),
+                   jitter_prob=0.8, randaug_ops=2, randaug_magnitude=9,
+                   erasing_prob=0.3),
+    # SimCLR two-view pipeline reuses stl10 aug (qavit_tpu/train/simclr.py)
+    "stl10_unlabeled": _spec("stl10_unlabeled", "stl10",
+                             rrc_scale=(0.2, 1.0),
+                             jitter=(0.8, 0.8, 0.8, 0.2), jitter_prob=0.8),
+    # HQAViT_IN_Tiny.py:1500-1546 — crop(64, 8), no erasing
+    "tiny_imagenet": _spec("tiny_imagenet", "tiny_imagenet", crop_pad=8,
+                           rotation_deg=15.0,
+                           jitter=(0.4, 0.4, 0.4, 0.1), jitter_prob=1.0,
+                           randaug_ops=2, randaug_magnitude=6),
+}
+
+
+def get_pipeline(name: str) -> PipelineSpec:
+    if name not in PIPELINES:
+        raise KeyError(f"unknown pipeline {name!r}; "
+                       f"available: {sorted(PIPELINES)}")
+    return PIPELINES[name]

@@ -1,0 +1,15 @@
+from qavit_tpu.eval.metrics import (
+    best_worst_classes,
+    classification_report,
+    confusion_matrix,
+    evaluate,
+    plot_confusion_matrix,
+    validate_tta,
+    visualize_predictions,
+)
+
+__all__ = [
+    "best_worst_classes", "classification_report", "confusion_matrix",
+    "evaluate", "plot_confusion_matrix", "validate_tta",
+    "visualize_predictions",
+]

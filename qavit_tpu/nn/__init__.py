@@ -1,4 +1,5 @@
-from qavit_tpu.nn.bank import BankState, GlobalTokenBank
+from qavit_tpu.nn.bank import (BankState, GlobalBankParams, bank_init_state,
+                               bank_read, bank_write)
 from qavit_tpu.nn.block import (
     QuadAttentionBlock,
     QuadBlockWithTokenLearner,
@@ -32,7 +33,7 @@ from qavit_tpu.nn.layers import (
 from qavit_tpu.nn.models import HQAViT, QAViT, build_model, init_model
 
 __all__ = [
-    "BankState", "GlobalTokenBank",
+    "BankState", "GlobalBankParams", "bank_init_state", "bank_read", "bank_write",
     "QuadAttentionBlock", "QuadBlockWithTokenLearner",
     "TokenLearner", "TokenUpMix",
     "ChannelGroupAttention", "CrossAttentionBranch",

@@ -16,24 +16,26 @@ Torch semantics being reproduced:
   so they stay frozen at init; the training engine masks them from weight
   decay to match (see qavit_tpu/train/optim.py).
 
-JAX redesign: the bank value is threaded through the forward as an explicit
-:class:`BankState` carry.  The carry starts at the parameter values, each
-write produces ``carry + stop_gradient(delta)`` — the *value* advances, the
-*gradient* still flows straight to the parameters from every read — and the
-final carry is returned to the train step, which swaps it into the params
-before the optimizer update (matching torch's forward-then-step order).
+JAX redesign: the bank is *pure data*.  :class:`GlobalBankParams` is a
+parameter holder; the live bank value is a :class:`BankState` carry
+threaded through the transformer's ``nn.scan`` over blocks.  Each write
+produces ``carry + stop_gradient(delta)`` — the *value* advances, the
+*gradient* still flows straight to the parameters from every read — and
+the final carry is returned to the train step, which swaps it into the
+params before the optimizer update (matching torch's forward-then-step
+order).  Keeping the bank as plain arrays (not a shared module) is what
+lets the block stack compile as one scanned XLA body.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from qavit_tpu.configs.model import BankConfig
-from qavit_tpu.nn.layers import LN_EPS, dense_init
 
 
 class BankState(NamedTuple):
@@ -44,73 +46,96 @@ class BankState(NamedTuple):
     count: jax.Array  # int32 scalar — persistent write counter
 
 
-class GlobalTokenBank(nn.Module):
+class GlobalBankParams(nn.Module):
+    """Parameter holder: returns the bank parameter dict.
+
+    Lives under the ``global_bank`` scope so the train step can find and
+    swap the k/v values (qavit_tpu/train/state.py:swap_bank).
+    """
+
     cfg: BankConfig
     embed_dim: int
-    dtype: jnp.dtype = jnp.bfloat16
-    # set to the mesh axis name when running under shard_map so the batch
-    # mean in write() spans the global batch
-    pmean_axis: Optional[str] = None
 
-    def setup(self):
+    @nn.compact
+    def __call__(self) -> Dict[str, jax.Array]:
         s, c = self.cfg.size, self.embed_dim
-        self.global_k = self.param("global_k", nn.initializers.normal(0.02),
-                                   (1, s, c))
-        self.global_v = self.param("global_v", nn.initializers.normal(0.02),
-                                   (1, s, c))
-        self.write_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
-                                       name="write_norm")
-        self.write_compression = nn.Dense(c, dtype=jnp.float32,
-                                          kernel_init=dense_init,
-                                          name="write_compression")
-        self.write_gate = nn.Dense(s, dtype=jnp.float32,
-                                   kernel_init=dense_init, name="write_gate")
+        init = nn.initializers
+        return {
+            "global_k": self.param("global_k", init.normal(0.02), (1, s, c)),
+            "global_v": self.param("global_v", init.normal(0.02), (1, s, c)),
+            "write_norm_scale": self.param("write_norm_scale", init.ones,
+                                           (c,)),
+            "write_norm_bias": self.param("write_norm_bias", init.zeros,
+                                          (c,)),
+            "write_compression_kernel": self.param(
+                "write_compression_kernel", init.normal(0.02), (c, c)),
+            "write_compression_bias": self.param(
+                "write_compression_bias", init.zeros, (c,)),
+            "write_gate_kernel": self.param("write_gate_kernel",
+                                            init.normal(0.02), (c, s)),
+            "write_gate_bias": self.param("write_gate_bias", init.zeros,
+                                          (s,)),
+        }
 
-    def init_state(self, count) -> BankState:
-        count = jnp.asarray(count, jnp.int32)
-        return BankState(self.global_k.astype(jnp.float32),
-                         self.global_v.astype(jnp.float32), count)
 
-    def read(self, state: BankState, batch: int) -> Tuple[jax.Array, jax.Array]:
-        """Broadcast bank K/V to the batch (QAViT.py:197-201)."""
-        k = jnp.broadcast_to(state.k, (batch,) + state.k.shape[1:])
-        v = jnp.broadcast_to(state.v, (batch,) + state.v.shape[1:])
-        return k.astype(self.dtype), v.astype(self.dtype)
+def bank_init_state(bank_params: Dict[str, jax.Array], count) -> BankState:
+    count = jnp.asarray(count, jnp.int32)
+    return BankState(bank_params["global_k"].astype(jnp.float32),
+                     bank_params["global_v"].astype(jnp.float32), count)
 
-    def write(self, state: BankState, tokens: jax.Array,
-              train: bool) -> BankState:
-        """Gradient-free, clamped bank update (HQAViT_CIFAR100.py:296-321).
 
-        The whole update path runs in fp32 under stop_gradient — in torch
-        the result feeds only ``.data`` ops, so nothing differentiates
-        through it and the write projections stay frozen.
-        """
-        if not train:
-            return state
-        cfg = self.cfg
-        t = jax.lax.stop_gradient(tokens).astype(jnp.float32)
-        t_norm = self.write_norm(t)
-        compressed = self.write_compression(t_norm)
-        weights = jax.nn.softmax(self.write_gate(t_norm), axis=1)  # over N
+def bank_read(state: BankState, batch: int,
+              dtype) -> Tuple[jax.Array, jax.Array]:
+    """Broadcast bank K/V to the batch (QAViT.py:197-201)."""
+    k = jnp.broadcast_to(state.k, (batch,) + state.k.shape[1:])
+    v = jnp.broadcast_to(state.v, (batch,) + state.v.shape[1:])
+    return k.astype(dtype), v.astype(dtype)
 
-        upd_k = jnp.einsum("bnm,bnc->bmc", weights, compressed).mean(
-            axis=0, keepdims=True)
-        upd_v = jnp.einsum("bnm,bnc->bmc", weights, t_norm).mean(
-            axis=0, keepdims=True)
-        if self.pmean_axis is not None:
-            upd_k = jax.lax.pmean(upd_k, self.pmean_axis)
-            upd_v = jax.lax.pmean(upd_v, self.pmean_axis)
-        upd_k = jnp.clip(upd_k, -cfg.update_clamp, cfg.update_clamp)
-        upd_v = jnp.clip(upd_v, -cfg.update_clamp, cfg.update_clamp)
 
-        rate = jnp.where(state.count < cfg.warmup_writes,
-                         cfg.update_rate_warm, cfg.update_rate)
-        new_k_val = jnp.clip(state.k + rate * upd_k,
-                             -cfg.value_clamp, cfg.value_clamp)
-        new_v_val = jnp.clip(state.v + rate * upd_v,
-                             -cfg.value_clamp, cfg.value_clamp)
-        # value advances, gradient stays identity to the carry (and thus the
-        # bank parameters) — the JAX analogue of torch's .data mutation
-        new_k = state.k + jax.lax.stop_gradient(new_k_val - state.k)
-        new_v = state.v + jax.lax.stop_gradient(new_v_val - state.v)
-        return BankState(new_k, new_v, state.count + 1)
+def _layer_norm(x, scale, bias, eps=1e-5):
+    mean = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def bank_write(bank_params: Dict[str, jax.Array], cfg: BankConfig,
+               state: BankState, tokens: jax.Array, train: bool,
+               pmean_axis: Optional[str] = None) -> BankState:
+    """Gradient-free, clamped bank update (HQAViT_CIFAR100.py:296-321).
+
+    The whole update path runs in fp32 under stop_gradient — in torch the
+    result feeds only ``.data`` ops, so nothing differentiates through it
+    and the write projections stay frozen at init.
+    """
+    if not train:
+        return state
+    t = jax.lax.stop_gradient(tokens).astype(jnp.float32)
+    p = {k: jax.lax.stop_gradient(v).astype(jnp.float32)
+         for k, v in bank_params.items()}
+    t_norm = _layer_norm(t, p["write_norm_scale"], p["write_norm_bias"])
+    compressed = (t_norm @ p["write_compression_kernel"]
+                  + p["write_compression_bias"])
+    weights = jax.nn.softmax(
+        t_norm @ p["write_gate_kernel"] + p["write_gate_bias"], axis=1)
+
+    upd_k = jnp.einsum("bnm,bnc->bmc", weights, compressed).mean(
+        axis=0, keepdims=True)
+    upd_v = jnp.einsum("bnm,bnc->bmc", weights, t_norm).mean(
+        axis=0, keepdims=True)
+    if pmean_axis is not None:
+        upd_k = jax.lax.pmean(upd_k, pmean_axis)
+        upd_v = jax.lax.pmean(upd_v, pmean_axis)
+    upd_k = jnp.clip(upd_k, -cfg.update_clamp, cfg.update_clamp)
+    upd_v = jnp.clip(upd_v, -cfg.update_clamp, cfg.update_clamp)
+
+    rate = jnp.where(state.count < cfg.warmup_writes,
+                     cfg.update_rate_warm, cfg.update_rate)
+    new_k_val = jnp.clip(state.k + rate * upd_k,
+                         -cfg.value_clamp, cfg.value_clamp)
+    new_v_val = jnp.clip(state.v + rate * upd_v,
+                         -cfg.value_clamp, cfg.value_clamp)
+    # value advances, gradient stays identity to the carry (and thus the
+    # bank parameters) — the JAX analogue of torch's .data mutation
+    new_k = state.k + jax.lax.stop_gradient(new_k_val - state.k)
+    new_v = state.v + jax.lax.stop_gradient(new_v_val - state.v)
+    return BankState(new_k, new_v, state.count + 1)

@@ -2,20 +2,26 @@
 
 Rebuilds QuadAttentionBlock (QAViT.py:588-636), TokenLearner / TokenUpMix
 (HQAViT_CIFAR100.py:971-1031) and QuadBlockWithTokenLearner
-(HQAViT_CIFAR100.py:1091-1123) with the bank as an explicit carry.
+(HQAViT_CIFAR100.py:1091-1123).
+
+Blocks are **scan-compatible**: ``__call__(carry, dpr, bank_params, train)
+-> (carry, None)`` with ``carry = (tokens, BankState)`` so a depth-N stack
+compiles as ONE ``nn.scan`` body instead of N inlined copies — the
+compile-time/idiomatic-XLA redesign of the reference's nn.ModuleList loop.
+Per-depth drop-path rates arrive as the scanned input.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from qavit_tpu.configs.model import ModelConfig
-from qavit_tpu.nn.bank import BankState, GlobalTokenBank
+from qavit_tpu.nn.bank import BankState
 from qavit_tpu.nn.branches import (
     ChannelGroupAttention,
     CrossAttentionBranch,
@@ -31,6 +37,8 @@ from qavit_tpu.nn.layers import (
     dense_init,
 )
 
+Carry = Tuple[jax.Array, BankState]
+
 
 class QuadAttentionBlock(nn.Module):
     """pre-norm -> 4 branches (sequential bank carry) -> per-branch LN +
@@ -38,14 +46,14 @@ class QuadAttentionBlock(nn.Module):
     residual; then CCF-FFN residual (QAViT.py:588-636)."""
 
     cfg: ModelConfig
-    bank: GlobalTokenBank
-    drop_path: float = 0.0
+    pmean_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, state: BankState,
-                 train: bool = False) -> Tuple[jax.Array, BankState]:
+    def __call__(self, carry: Carry, dpr, bank_params,
+                 train: bool = False) -> Tuple[Carry, None]:
         cfg = self.cfg
+        x, state = carry
         d_c = cfg.embed_dim // cfg.compress_ratio
         x_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                               name="norm1")(x)
@@ -53,14 +61,17 @@ class QuadAttentionBlock(nn.Module):
         # branch order (and therefore bank write order) matches the
         # reference: SWA -> MSDA -> CGA -> cross (QAViT.py:625-628)
         swa_out, state = SpatialWindowAttention(
-            cfg, self.bank, dtype=self.dtype, name="swa")(x_norm, state, train)
+            cfg, self.pmean_axis, dtype=self.dtype,
+            name="swa")(x_norm, bank_params, state, train)
         msda_out, state = MultiScaleDilatedAttention(
-            cfg, self.bank, dtype=self.dtype, name="msda")(x_norm, state, train)
+            cfg, self.pmean_axis, dtype=self.dtype,
+            name="msda")(x_norm, bank_params, state, train)
         cga_out, state = ChannelGroupAttention(
-            cfg, self.bank, dtype=self.dtype, name="cga")(x_norm, state, train)
+            cfg, self.pmean_axis, dtype=self.dtype,
+            name="cga")(x_norm, bank_params, state, train)
         cross_out, state = CrossAttentionBranch(
-            cfg, self.bank, dtype=self.dtype,
-            name="cross_attn")(x_norm, state, train)
+            cfg, self.pmean_axis, dtype=self.dtype,
+            name="cross_attn")(x_norm, bank_params, state, train)
 
         outs = []
         for name, out in (("swa", swa_out), ("msda", msda_out),
@@ -76,15 +87,15 @@ class QuadAttentionBlock(nn.Module):
                                 cfg.embed_dim, cfg.dropout, dtype=self.dtype,
                                 name="bottleneck_mlp")(fused, train)
 
-        x = x + DropPath(self.drop_path, name="drop_path1")(mlp_out, train)
+        x = x + DropPath(name="drop_path1")(mlp_out, dpr, train)
         ffn_in = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                               name="norm2")(x)
         ffn_out = CCFFFN(cfg.embed_dim, cfg.mlp_ratio, cfg.dropout,
                          stabilized=cfg.stabilized_ccfffn,
                          stabilized_dwconv=cfg.stabilized_dwconv,
                          dtype=self.dtype, name="ccf_ffn")(ffn_in, train)
-        x = x + DropPath(self.drop_path, name="drop_path2")(ffn_out, train)
-        return x, state
+        x = x + DropPath(name="drop_path2")(ffn_out, dpr, train)
+        return (x, state), None
 
 
 class TokenLearner(nn.Module):
@@ -101,8 +112,10 @@ class TokenLearner(nn.Module):
         scores = nn.Dense(self.num_out_tokens, dtype=self.dtype,
                           kernel_init=dense_init, name="attn_fc")(scores)
         weights = jax.nn.softmax(scores.astype(jnp.float32), axis=1)
-        out = jnp.einsum("bnm,bnc->bmc", weights.astype(x.dtype), x)
-        return out
+        # positional N->M map, consumed by attention rollout
+        # (qavit_tpu/interpret/rollout.py)
+        self.sow("intermediates", "weights", weights)
+        return jnp.einsum("bnm,bnc->bmc", weights.astype(x.dtype), x)
 
 
 class TokenUpMix(nn.Module):
@@ -128,26 +141,26 @@ class QuadBlockWithTokenLearner(nn.Module):
     a perfect square as in HQAViT_IN_Tiny.py:1323-1329."""
 
     cfg: ModelConfig
-    bank: GlobalTokenBank
-    drop_path: float = 0.0
+    pmean_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, state: BankState,
-                 train: bool = False) -> Tuple[jax.Array, BankState]:
+    def __call__(self, carry: Carry, dpr, bank_params,
+                 train: bool = False) -> Tuple[Carry, None]:
         cfg = self.cfg
         if not cfg.use_token_learner:
-            return QuadAttentionBlock(cfg, self.bank, self.drop_path,
-                                      dtype=self.dtype,
-                                      name="quad_block")(x, state, train)
+            return QuadAttentionBlock(cfg, self.pmean_axis, dtype=self.dtype,
+                                      name="quad_block")(carry, dpr,
+                                                         bank_params, train)
+        x, state = carry
         m = cfg.num_learned_tokens
         sq = int(math.isqrt(m))
         if sq * sq != m:
             m = max(4, sq * sq)
-        n = cfg.num_patches
         xc = TokenLearner(m, dtype=self.dtype, name="token_learner")(x)
-        xc, state = QuadAttentionBlock(cfg, self.bank, self.drop_path,
-                                       dtype=self.dtype,
-                                       name="quad_block")(xc, state, train)
-        x = TokenUpMix(n, dtype=self.dtype, name="token_upmix")(xc)
-        return x, state
+        (xc, state), _ = QuadAttentionBlock(
+            cfg, self.pmean_axis, dtype=self.dtype,
+            name="quad_block")((xc, state), dpr, bank_params, train)
+        x = TokenUpMix(cfg.num_patches, dtype=self.dtype,
+                       name="token_upmix")(xc)
+        return (x, state), None

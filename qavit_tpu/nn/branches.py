@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from qavit_tpu.configs.model import ModelConfig
 from qavit_tpu.kernels.attention import attention
-from qavit_tpu.nn.bank import BankState, GlobalTokenBank
+from qavit_tpu.nn.bank import BankState, bank_read, bank_write
 from qavit_tpu.nn.layers import LN_EPS, LinformerCompression, dense_init
 
 
@@ -58,11 +58,11 @@ class SpatialWindowAttention(nn.Module):
     writing its normed output back to the bank (QAViT.py:297-363)."""
 
     cfg: ModelConfig
-    bank: GlobalTokenBank
+    pmean_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, state: BankState,
+    def __call__(self, x, bank_params, state: BankState,
                  train: bool = False) -> Tuple[jax.Array, BankState]:
         cfg = self.cfg
         b, n, c = x.shape
@@ -92,7 +92,7 @@ class SpatialWindowAttention(nn.Module):
                                         dtype=self.dtype,
                                         name="linformer")(k, v)
 
-        k_bank, v_bank = self.bank.read(state, bw)   # [BW, S, C]
+        k_bank, v_bank = bank_read(state, bw, self.dtype)   # [BW, S, C]
         k_bank = _split_heads(k_bank, cfg.num_heads)
         v_bank = _split_heads(v_bank, cfg.num_heads)
         k_full = jnp.concatenate([k_c, k_bank], axis=2)
@@ -114,7 +114,8 @@ class SpatialWindowAttention(nn.Module):
 
         normed = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                               name="norm")(out)
-        state = self.bank.write(state, normed, train)
+        state = bank_write(bank_params, cfg.bank, state, normed, train,
+                           self.pmean_axis)
         return out, state
 
 
@@ -129,11 +130,11 @@ class MultiScaleDilatedAttention(nn.Module):
     """
 
     cfg: ModelConfig
-    bank: GlobalTokenBank
+    pmean_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, state: BankState,
+    def __call__(self, x, bank_params, state: BankState,
                  train: bool = False) -> Tuple[jax.Array, BankState]:
         cfg = self.cfg
         b, n, c = x.shape
@@ -173,7 +174,7 @@ class MultiScaleDilatedAttention(nn.Module):
                                         dtype=self.dtype,
                                         name="linformer")(k, v)
 
-        k_bank, v_bank = self.bank.read(state, b)
+        k_bank, v_bank = bank_read(state, b, self.dtype)
         k_full = jnp.concatenate([k_c, _split_heads(k_bank, cfg.num_heads)],
                                  axis=2)
         v_full = jnp.concatenate([v_c, _split_heads(v_bank, cfg.num_heads)],
@@ -195,7 +196,8 @@ class MultiScaleDilatedAttention(nn.Module):
 
         normed = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                               name="norm")(out)
-        state = self.bank.write(state, normed, train)
+        state = bank_write(bank_params, cfg.bank, state, normed, train,
+                           self.pmean_axis)
         return out, state
 
 
@@ -205,11 +207,11 @@ class ChannelGroupAttention(nn.Module):
     tiny head_dim make this an XLA-einsum branch."""
 
     cfg: ModelConfig
-    bank: GlobalTokenBank
+    pmean_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, state: BankState,
+    def __call__(self, x, bank_params, state: BankState,
                  train: bool = False) -> Tuple[jax.Array, BankState]:
         cfg = self.cfg
         b, n, c = x.shape
@@ -231,7 +233,7 @@ class ChannelGroupAttention(nn.Module):
         k = _split_heads(k, cfg.num_heads)
         v = _split_heads(v, cfg.num_heads)
 
-        k_bank, v_bank = self.bank.read(state, b)     # [B, S, C]
+        k_bank, v_bank = bank_read(state, b, self.dtype)     # [B, S, C]
         k_bank = nn.Dense(cperg, dtype=self.dtype, kernel_init=dense_init,
                           name="bank_k_proj")(k_bank)
         v_bank = nn.Dense(cperg, dtype=self.dtype, kernel_init=dense_init,
@@ -263,7 +265,8 @@ class ChannelGroupAttention(nn.Module):
 
         normed = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                               name="norm")(out)
-        state = self.bank.write(state, normed, train)
+        state = bank_write(bank_params, cfg.bank, state, normed, train,
+                           self.pmean_axis)
         return out, state
 
 
@@ -272,11 +275,11 @@ class CrossAttentionBranch(nn.Module):
     no write-back (QAViT.py:492-520)."""
 
     cfg: ModelConfig
-    bank: GlobalTokenBank
+    pmean_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, state: BankState,
+    def __call__(self, x, bank_params, state: BankState,
                  train: bool = False) -> Tuple[jax.Array, BankState]:
         cfg = self.cfg
         b, n, c = x.shape
@@ -284,7 +287,7 @@ class CrossAttentionBranch(nn.Module):
         q = _split_heads(nn.Dense(c, dtype=self.dtype,
                                   kernel_init=dense_init,
                                   name="q_proj")(x), cfg.num_heads)
-        k_bank, v_bank = self.bank.read(state, b)
+        k_bank, v_bank = bank_read(state, b, self.dtype)
         k = _split_heads(nn.Dense(c, dtype=self.dtype,
                                   kernel_init=dense_init,
                                   name="k_proj")(k_bank), cfg.num_heads)

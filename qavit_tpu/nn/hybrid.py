@@ -43,7 +43,7 @@ class ConvNeXtBlock(nn.Module):
                                nn.initializers.constant(self.layer_scale_init),
                                (self.dim,))
             y = y * gamma.astype(y.dtype)
-        return x + DropPath(self.drop_path, name="drop_path")(y, train)
+        return x + DropPath(name="drop_path")(y, self.drop_path, train)
 
 
 class CNNStemV1(nn.Module):

@@ -32,19 +32,22 @@ LN_EPS = 1e-5
 
 class DropPath(nn.Module):
     """Stochastic depth: per-sample Bernoulli mask scaled by 1/keep_prob
-    (reference: QAViT.py:161-177)."""
+    (reference: QAViT.py:161-177).
 
-    rate: float = 0.0
+    ``rate`` may be a traced scalar so block stacks can be ``nn.scan``-ned
+    with per-depth rates supplied as scan inputs.
+    """
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        if self.rate == 0.0 or not train:
+    def __call__(self, x, rate, train: bool = False):
+        if not train or (isinstance(rate, float) and rate == 0.0):
             return x
-        keep_prob = 1.0 - self.rate
+        keep_prob = 1.0 - jnp.asarray(rate, jnp.float32)
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep_prob, shape)
-        return jnp.where(mask, x / keep_prob, 0.0).astype(x.dtype)
+        return jnp.where(mask, x / keep_prob.astype(x.dtype), 0.0).astype(
+            x.dtype)
 
 
 class PatchEmbed(nn.Module):

@@ -1,7 +1,12 @@
 """QA-ViT model family: QAViT (flat trunk) and HQAViT (hybrid staged trunk).
 
 Rebuilds QAViT (QAViT.py:654-699) and HQAViT (HQAViT_CIFAR100.py:1141-1277)
-as functional flax models.  Forward signature for both:
+as functional flax models.  The block stack is an ``nn.scan`` — each stage
+compiles to one XLA while-loop body with stacked parameters (leading axis =
+depth) instead of the reference's N inlined module copies; per-depth
+drop-path rates ride along as the scanned input.
+
+Forward signature for both models:
 
     logits, bank_state = model.apply(
         {"params": params, **extra}, images, train=..., bank_count=...,
@@ -23,7 +28,7 @@ import numpy as np
 from flax import linen as nn
 
 from qavit_tpu.configs.model import ModelConfig
-from qavit_tpu.nn.bank import BankState, GlobalTokenBank
+from qavit_tpu.nn.bank import BankState, GlobalBankParams, bank_init_state
 from qavit_tpu.nn.block import QuadAttentionBlock, QuadBlockWithTokenLearner
 from qavit_tpu.nn.hybrid import (
     CNNStemConvNeXt,
@@ -39,8 +44,20 @@ def _dtype_of(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
-def _drop_path_rates(cfg: ModelConfig):
-    return list(np.linspace(0.0, cfg.drop_path, cfg.depth))
+def _drop_path_rates(cfg: ModelConfig) -> np.ndarray:
+    return np.linspace(0.0, cfg.drop_path, cfg.depth, dtype=np.float32)
+
+
+def _scan_stack(block_cls, cfg, pmean_axis, dtype, length: int, name: str):
+    """A depth-``length`` stack of blocks as one nn.scan."""
+    scanned = nn.scan(
+        block_cls,
+        variable_axes={"params": 0, "intermediates": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=(0, nn.broadcast, nn.broadcast),
+        length=length,
+    )
+    return scanned(cfg, pmean_axis, dtype=dtype, name=name)
 
 
 class QAViT(nn.Module):
@@ -49,44 +66,37 @@ class QAViT(nn.Module):
     cfg: ModelConfig
     pmean_axis: Optional[str] = None
 
-    def setup(self):
-        cfg = self.cfg
-        dtype = _dtype_of(cfg)
-        self.patch_embed = PatchEmbed(cfg.patch_size, cfg.embed_dim,
-                                      dtype=dtype)
-        self.pos_embed = self.param("pos_embed",
-                                    nn.initializers.normal(0.02),
-                                    (1, cfg.num_patches, cfg.embed_dim))
-        self.pos_drop = nn.Dropout(cfg.dropout)
-        self.global_bank = GlobalTokenBank(cfg.bank, cfg.embed_dim,
-                                           dtype=dtype,
-                                           pmean_axis=self.pmean_axis)
-        dpr = _drop_path_rates(cfg)
-        self.blocks = [
-            QuadAttentionBlock(cfg, self.global_bank, dpr[i], dtype=dtype,
-                               name=f"block{i}")
-            for i in range(cfg.depth)
-        ]
-        self.norm = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype)
-        self.head = nn.Dense(cfg.num_classes, dtype=dtype,
-                             kernel_init=dense_init)
-
+    @nn.compact
     def __call__(self, x, train: bool = False,
                  bank_count=0) -> Tuple[jax.Array, BankState]:
         cfg = self.cfg
         dtype = _dtype_of(cfg)
-        t = self.patch_embed(x.astype(dtype))
-        t = t + self.pos_embed.astype(dtype)
-        t = self.pos_drop(t, deterministic=not train)
 
-        state = self.global_bank.init_state(bank_count)
-        for block in self.blocks:
-            t, state = block(t, state, train)
+        bank_params = GlobalBankParams(cfg.bank, cfg.embed_dim,
+                                       name="global_bank")()
 
-        t = self.norm(t)
+        t = PatchEmbed(cfg.patch_size, cfg.embed_dim, dtype=dtype,
+                       name="patch_embed")(x.astype(dtype))
+        # Grad-CAM hook point: zero perturbation whose gradient is the
+        # d(logit)/d(patch activation) map (test_hqa.py:239-259 analogue)
+        t = self.perturb("patch_tokens", t)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, cfg.num_patches, cfg.embed_dim))
+        t = t + pos.astype(dtype)
+        t = nn.Dropout(cfg.dropout, deterministic=not train,
+                       name="pos_drop")(t)
+
+        state = bank_init_state(bank_params, bank_count)
+        dpr = jnp.asarray(_drop_path_rates(cfg))
+        blocks = _scan_stack(QuadAttentionBlock, cfg, self.pmean_axis, dtype,
+                             cfg.depth, "blocks")
+        (t, state), _ = blocks((t, state), dpr, bank_params, train)
+
+        t = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="norm")(t)
         pooled = t.mean(axis=1)
-        logits = self.head(pooled).astype(jnp.float32)
-        return logits, state
+        logits = nn.Dense(cfg.num_classes, dtype=dtype,
+                          kernel_init=dense_init, name="head")(pooled)
+        return logits.astype(jnp.float32), state
 
 
 class HQAViT(nn.Module):
@@ -96,54 +106,7 @@ class HQAViT(nn.Module):
     cfg: ModelConfig
     pmean_axis: Optional[str] = None
 
-    def setup(self):
-        cfg = self.cfg
-        dtype = _dtype_of(cfg)
-        hw = cfg.grid_size
-
-        self.patch_embed = PatchEmbed(cfg.patch_size, cfg.embed_dim,
-                                      dtype=dtype)
-        self.pos_embed = self.param("pos_embed",
-                                    nn.initializers.normal(0.02),
-                                    (1, cfg.num_patches, cfg.embed_dim))
-        self.pos_drop = nn.Dropout(cfg.dropout)
-        self.global_bank = GlobalTokenBank(cfg.bank, cfg.embed_dim,
-                                           dtype=dtype,
-                                           pmean_axis=self.pmean_axis)
-
-        stem_cls = CNNStemV1 if cfg.stem_kind == "v1" else CNNStemConvNeXt
-        self.cnn_stem = stem_cls(cfg.cnn_c2, cfg.cnn_c3, cfg.cnn_c4,
-                                 dtype=dtype)
-        self.lmfa2 = LMFAdapter(cfg.embed_dim, hw, dtype=dtype)
-        self.lmfa3 = LMFAdapter(cfg.embed_dim, hw, dtype=dtype)
-        self.lmfa4 = LMFAdapter(cfg.embed_dim, hw, dtype=dtype)
-        self.rrcv2 = RRCV(cfg.embed_dim, cfg.rrcv_channels,
-                          cfg.rrcv_num_blocks, dtype=dtype)
-        self.rrcv3 = RRCV(cfg.embed_dim, cfg.rrcv_channels,
-                          cfg.rrcv_num_blocks, dtype=dtype)
-        self.rrcv4 = RRCV(cfg.embed_dim, cfg.rrcv_channels,
-                          cfg.rrcv_num_blocks, dtype=dtype)
-        self.fuse2 = SplitFusion(cfg.embed_dim, cfg.dropout, dtype=dtype)
-        self.fuse3 = SplitFusion(cfg.embed_dim, cfg.dropout, dtype=dtype)
-        self.fuse4 = SplitFusion(cfg.embed_dim, cfg.dropout, dtype=dtype)
-
-        dpr = _drop_path_rates(cfg)
-        stages = []
-        idx = 0
-        for s, nblocks in enumerate(cfg.stage_blocks, start=1):
-            stages.append([
-                QuadBlockWithTokenLearner(cfg, self.global_bank, dpr[idx + i],
-                                          dtype=dtype,
-                                          name=f"stage{s}_block{i}")
-                for i in range(nblocks)
-            ])
-            idx += nblocks
-        self.stages = stages
-
-        self.norm = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype)
-        self.head = nn.Dense(cfg.num_classes, dtype=dtype,
-                             kernel_init=dense_init)
-
+    @nn.compact
     def __call__(self, x, train: bool = False,
                  bank_count=0) -> Tuple[jax.Array, BankState]:
         cfg = self.cfg
@@ -151,30 +114,51 @@ class HQAViT(nn.Module):
         hw = cfg.grid_size
         x = x.astype(dtype)
 
+        bank_params = GlobalBankParams(cfg.bank, cfg.embed_dim,
+                                       name="global_bank")()
+
         # lateral CNN path
-        f2, f3, f4 = self.cnn_stem(x, train)
-        r2 = self.rrcv2(self.lmfa2(f2), (hw, hw), train)
-        r3 = self.rrcv3(self.lmfa3(f3), (hw, hw), train)
-        r4 = self.rrcv4(self.lmfa4(f4), (hw, hw), train)
+        stem_cls = CNNStemV1 if cfg.stem_kind == "v1" else CNNStemConvNeXt
+        f2, f3, f4 = stem_cls(cfg.cnn_c2, cfg.cnn_c3, cfg.cnn_c4, dtype=dtype,
+                              name="cnn_stem")(x, train)
+        laterals = [None]
+        for i, f in ((2, f2), (3, f3), (4, f4)):
+            a = LMFAdapter(cfg.embed_dim, hw, dtype=dtype,
+                           name=f"lmfa{i}")(f)
+            r = RRCV(cfg.embed_dim, cfg.rrcv_channels, cfg.rrcv_num_blocks,
+                     dtype=dtype, name=f"rrcv{i}")(a, (hw, hw), train)
+            laterals.append(r)
 
         # ViT path
-        t = self.patch_embed(x)
-        t = t + self.pos_embed.astype(dtype)
-        t = self.pos_drop(t, deterministic=not train)
+        t = PatchEmbed(cfg.patch_size, cfg.embed_dim, dtype=dtype,
+                       name="patch_embed")(x)
+        t = self.perturb("patch_tokens", t)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, cfg.num_patches, cfg.embed_dim))
+        t = t + pos.astype(dtype)
+        t = nn.Dropout(cfg.dropout, deterministic=not train,
+                       name="pos_drop")(t)
 
-        state = self.global_bank.init_state(bank_count)
-        laterals = [None, r2, r3, r4]
-        fusions = [None, self.fuse2, self.fuse3, self.fuse4]
-        for stage_idx, blocks in enumerate(self.stages):
-            if stage_idx > 0 and stage_idx < len(laterals):
-                t = fusions[stage_idx](t, laterals[stage_idx], train)
-            for block in blocks:
-                t, state = block(t, state, train)
+        state = bank_init_state(bank_params, bank_count)
+        dpr = _drop_path_rates(cfg)
+        idx = 0
+        for stage_idx, nblocks in enumerate(cfg.stage_blocks, start=1):
+            if 2 <= stage_idx <= 4 and laterals[stage_idx - 1] is not None:
+                t = SplitFusion(cfg.embed_dim, cfg.dropout, dtype=dtype,
+                                name=f"fuse{stage_idx}")(
+                                    t, laterals[stage_idx - 1], train)
+            blocks = _scan_stack(QuadBlockWithTokenLearner, cfg,
+                                 self.pmean_axis, dtype, nblocks,
+                                 f"stage{stage_idx}_blocks")
+            stage_dpr = jnp.asarray(dpr[idx:idx + nblocks])
+            (t, state), _ = blocks((t, state), stage_dpr, bank_params, train)
+            idx += nblocks
 
-        t = self.norm(t)
+        t = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="norm")(t)
         pooled = t.mean(axis=1)
-        logits = self.head(pooled).astype(jnp.float32)
-        return logits, state
+        logits = nn.Dense(cfg.num_classes, dtype=dtype,
+                          kernel_init=dense_init, name="head")(pooled)
+        return logits.astype(jnp.float32), state
 
 
 def build_model(cfg: ModelConfig, pmean_axis: Optional[str] = None):
@@ -197,6 +181,6 @@ def init_model(cfg: ModelConfig, rng: jax.Array, batch_size: int = 2,
     params_rng, dropout_rng = jax.random.split(rng)
     # init with train=True so the (train-only) bank write path creates its
     # parameters too
-    variables = model.init({"params": params_rng, "dropout": dropout_rng},
-                           dummy, train=True)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": params_rng, "dropout": dropout_rng}, dummy, train=True)
     return model, variables

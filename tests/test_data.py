@@ -1,0 +1,91 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qavit_tpu.data import (
+    AugConfig,
+    BatchLoader,
+    augment_batch,
+    eval_batch,
+    get_pipeline,
+    load_dataset,
+)
+from qavit_tpu.data.augment import (
+    adjust_brightness,
+    autocontrast,
+    equalize,
+    posterize,
+    random_crop,
+    rotate,
+    solarize,
+)
+
+
+def test_synthetic_dataset_fallback(tmp_path):
+    ds = load_dataset("cifar100", data_root=str(tmp_path))
+    assert ds.synthetic
+    assert ds.train_images.dtype == np.uint8
+    assert ds.train_images.shape[1:] == (32, 32, 3)
+    assert ds.num_classes == 100
+
+
+def test_batch_loader_shapes_and_epoch(tmp_path):
+    ds = load_dataset("cifar10", data_root=str(tmp_path))
+    loader = BatchLoader(ds.train_images, ds.train_labels, batch_size=64)
+    batches = list(loader)
+    assert len(batches) == len(ds.train_images) // 64
+    x, y = batches[0]
+    assert x.shape == (64, 32, 32, 3)
+    assert y.dtype == jnp.int32
+
+
+def test_eval_batch_normalises():
+    cfg = get_pipeline("cifar100").aug
+    x = np.full((2, 32, 32, 3), 128, np.uint8)
+    out = np.asarray(eval_batch(jnp.asarray(x), cfg))
+    expected = (128 / 255.0 - np.array(cfg.mean)) / np.array(cfg.std)
+    np.testing.assert_allclose(out[0, 0, 0], expected, atol=1e-5)
+
+
+def test_augment_batch_runs_full_hqa_pipeline(rng):
+    cfg = get_pipeline("cifar100_hqa").aug
+    x = jnp.asarray(np.random.RandomState(0).randint(
+        0, 255, (4, 32, 32, 3), np.uint8))
+    out = augment_batch(rng, x, cfg)
+    assert out.shape == (4, 32, 32, 3)
+    assert out.dtype == jnp.float32
+    assert bool(jnp.isfinite(out).all())
+    # per-image randomness: two images augmented differently
+    out2 = augment_batch(jax.random.PRNGKey(9), x, cfg)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_photometric_ops_ranges():
+    img = jnp.asarray(np.random.RandomState(0).randint(
+        0, 255, (8, 8, 3)).astype(np.float32))
+    for out in (adjust_brightness(img, 1.5), autocontrast(img),
+                solarize(img, 128.0), posterize(img, 4), equalize(img)):
+        o = np.asarray(out)
+        assert o.min() >= 0.0 and o.max() <= 255.0
+
+
+def test_equalize_uniform_noop_ish():
+    # an already-uniform ramp stays roughly a ramp
+    img = jnp.broadcast_to(jnp.arange(256, dtype=jnp.float32).reshape(
+        16, 16)[..., None], (16, 16, 3))
+    out = np.asarray(equalize(img))
+    assert abs(out.mean() - np.asarray(img).mean()) < 16
+
+
+def test_rotate_identity():
+    img = jnp.asarray(np.random.RandomState(0).rand(9, 9, 3).astype(
+        np.float32))
+    out = np.asarray(rotate(img, jnp.float32(0.0)))
+    np.testing.assert_allclose(out, np.asarray(img), atol=1e-5)
+
+
+def test_random_crop_preserves_content_distribution(rng):
+    img = jnp.ones((8, 8, 3), jnp.float32) * 7
+    out = np.asarray(random_crop(rng, img, 2))
+    assert out.shape == (8, 8, 3)
+    assert set(np.unique(out)) <= {0.0, 7.0}

@@ -1,0 +1,150 @@
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qavit_tpu.configs import TrainingConfig
+from qavit_tpu.nn import init_model
+from qavit_tpu.train import (
+    apply_mix,
+    create_train_state,
+    ema_distance,
+    ema_warmup_decay,
+    make_eval_step,
+    make_optimizer,
+    make_schedule,
+    make_train_step,
+    swap_bank,
+)
+from qavit_tpu.train.optim import lr_group_multipliers, per_tensor_clip
+
+
+def test_onecycle_schedule_endpoints():
+    tc = TrainingConfig(epochs=10, warmup_epochs=2, base_lr=1e-3,
+                        schedule="onecycle")
+    s = make_schedule(tc, steps_per_epoch=10)
+    assert float(s(0)) == pytest.approx(1e-3 / 25, rel=1e-3)
+    assert float(s(20)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(s(100)) == pytest.approx(1e-3 / 25 / 1e4, rel=0.05)
+
+
+def test_warm_restart_schedule_restarts():
+    tc = TrainingConfig(epochs=10, warmup_epochs=0, base_lr=1e-3,
+                        min_lr=1e-5, schedule="warm_restarts",
+                        warm_restart_t0_epochs=2, warm_restart_t_mult=2)
+    s = make_schedule(tc, steps_per_epoch=10)
+    # cycle boundaries at steps 20 (t0) and 60 (t0 + 2*t0)
+    assert float(s(0)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(s(19)) < 2e-4  # near the valley
+    assert float(s(20)) == pytest.approx(1e-3, rel=1e-2)  # restart
+    assert float(s(60)) == pytest.approx(1e-3, rel=1e-2)  # second restart
+
+
+def test_per_tensor_clip_only_matching_keys():
+    clip = per_tensor_clip(0.1, ("dwconv",))
+    grads = {"dwconv_w": jnp.ones((4,)) * 10.0, "other": jnp.ones((4,)) * 10}
+    out, _ = clip.update(grads, clip.init(grads))
+    assert float(jnp.linalg.norm(out["dwconv_w"])) == pytest.approx(0.1,
+                                                                    rel=1e-3)
+    np.testing.assert_array_equal(np.asarray(out["other"]),
+                                  np.asarray(grads["other"]))
+
+
+def test_lr_group_multipliers_layerwise():
+    tc = TrainingConfig(lr_groups="layerwise", head_lr_multiplier=5.0,
+                        layer_lr_decay=0.8)
+    m = lr_group_multipliers(tc)
+    assert m("head/kernel") == 5.0
+    assert m("stage4_blocks/x") == 1.0
+    assert m("stage1_blocks/x") == pytest.approx(0.8 ** 3)
+    assert m("fuse2/gate_fc/kernel") == 0.5
+    assert m("cnn_stem/stem_conv/kernel") == 0.1
+    assert m("pos_embed") == 0.3
+    assert m("norm/scale") == 1.0
+
+
+def test_ema_warmup_decay():
+    assert ema_warmup_decay(1, 20, 0.99, 0.999) == pytest.approx(
+        0.99 + (0.999 - 0.99) / 20)
+    assert ema_warmup_decay(25, 20, 0.99, 0.999) == 0.999
+
+
+def test_mix_identity_when_disabled(rng):
+    tc = TrainingConfig(use_mixup=False, use_cutmix=False)
+    x = jax.random.normal(rng, (4, 8, 8, 3))
+    y = jnp.arange(4)
+    b = apply_mix(rng, x, y, tc)
+    np.testing.assert_array_equal(np.asarray(b.images), np.asarray(x))
+    assert float(b.lam) == 1.0
+
+
+def test_mix_cutmix_lam_matches_box(rng):
+    tc = TrainingConfig(use_mixup=False, use_cutmix=True, mix_prob=1.0)
+    x = jnp.stack([jnp.zeros((16, 16, 3)), jnp.ones((16, 16, 3))])
+    y = jnp.array([0, 1])
+    b = apply_mix(rng, x, y, tc)
+    # pixel ratio must equal the adjusted lambda exactly
+    frac_mixed = float((np.asarray(b.images[0]) != 0).mean())
+    assert float(b.lam) == pytest.approx(1.0 - frac_mixed, abs=1e-6) or \
+        float(b.lam) == 1.0  # degenerate zero-area box
+
+
+def test_train_step_runs_and_updates(tiny_cfg, tiny_bundle, tiny_train_cfg, rng):
+    model, variables = tiny_bundle
+    tc = tiny_train_cfg
+    sched = make_schedule(tc, 10)
+    tx = make_optimizer(tc, 10, sched)
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"), use_ema=True)
+    step = make_train_step(model, tx, tiny_cfg, tc, sched)
+    x = jax.random.normal(rng, (4, 16, 16, 3))
+    y = jnp.array([0, 1, 2, 3])
+    state2, m = step(state, x, y, rng)
+    assert int(state2.step) == 1
+    assert int(state2.bank_count) == 3 * tiny_cfg.depth
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["grad_norm"]) > 0
+    # params changed
+    d0 = jax.flatten_util.ravel_pytree(state.params)[0]
+    d1 = jax.flatten_util.ravel_pytree(state2.params)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+    # EMA moved toward params but is distinct
+    pd, _ = ema_distance(state2.ema_params, state2.params)
+    assert float(pd) > 0
+    # second step continues the bank counter
+    state3, _ = step(state2, x, y, rng)
+    assert int(state3.bank_count) == 6 * tiny_cfg.depth
+
+
+def test_eval_step_counts(tiny_cfg, tiny_bundle, tiny_train_cfg, rng):
+    model, variables = tiny_bundle
+    tc = tiny_train_cfg
+    tx = make_optimizer(tc, 10)
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"), use_ema=True)
+    ev = make_eval_step(model, tiny_cfg)
+    x = jax.random.normal(rng, (8, 16, 16, 3))
+    y = jnp.zeros((8,), jnp.int32)
+    m = ev(state, x, y)
+    assert int(m["count"]) == 8
+    assert 0 <= int(m["top1"]) <= int(m["top5"]) <= 8
+    # ema eval path
+    ev_ema = make_eval_step(model, tiny_cfg, use_ema=True)
+    m2 = ev_ema(state, x, y)
+    # fresh EMA equals params -> identical metrics
+    assert int(m2["top1"]) == int(m["top1"])
+
+
+def test_swap_bank(tiny_cfg, tiny_bundle, rng):
+    model, variables = tiny_bundle
+    params = variables["params"]
+    from qavit_tpu.nn.bank import BankState
+    new = BankState(jnp.ones_like(params["global_bank"]["global_k"]),
+                    jnp.ones_like(params["global_bank"]["global_v"]),
+                    jnp.int32(7))
+    swapped = swap_bank(params, new)
+    np.testing.assert_array_equal(
+        np.asarray(swapped["global_bank"]["global_k"]), 1.0)
+    # other params untouched
+    assert swapped["head"] is params["head"]
