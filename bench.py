@@ -1,0 +1,73 @@
+"""Benchmark: HQAViT-Tiny CIFAR-100 training throughput on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline: the reference trains HQA-ViT CIFAR-100 at ~379 img/s on an
+RTX-class GPU (batch 256, 195 steps in ~132 s/epoch — `log hqavit450.txt`
+epoch-91 summary; BASELINE.md).  The measured number is the full training
+step (device-side augmentation excluded, matching the reference whose
+torchvision aug runs in host workers): mixup/cutmix, bf16 forward/backward
+through all 8 quad-attention blocks + CNN stem, two-level clipping, AdamW,
+EMA and the global-token-bank update, jit-compiled as one XLA program.
+"""
+
+import json
+import time
+
+from qavit_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+BASELINE_IMG_PER_SEC = 379.0
+
+
+def main() -> None:
+    from qavit_tpu.configs import get_preset
+    from qavit_tpu.nn import init_model
+    from qavit_tpu.train import (create_train_state, make_optimizer,
+                                 make_schedule, make_train_step)
+
+    preset = get_preset("hqavit_c100")
+    mc, tc = preset.model, preset.train
+
+    model, variables = init_model(mc, jax.random.PRNGKey(0))
+    steps_per_epoch = 50_000 // tc.batch_size
+    sched = make_schedule(tc, steps_per_epoch)
+    tx = make_optimizer(tc, steps_per_epoch, sched)
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"),
+                               use_ema=tc.use_ema, ema_decay=tc.ema_decay)
+    step = make_train_step(model, tx, mc, tc, sched)
+
+    batch = 1024  # single-chip throughput peaks past the reference's 256
+    rng = jax.random.PRNGKey(1)
+    images = jax.random.normal(rng, (batch, 32, 32, 3), jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (batch,), 0, 100)
+
+    # warmup / compile
+    for _ in range(3):
+        state, metrics = step(state, images, labels, rng)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, images, labels, rng)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    img_per_sec = batch / dt
+    print(json.dumps({
+        "metric": "HQAViT-Tiny CIFAR-100 train throughput (1 chip, B=1024)",
+        "value": round(img_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,217 @@
+"""Training entry point.
+
+    python -m qavit_tpu.cli.train --preset hqavit_c100 [--epochs N] ...
+
+One de-duplicated trainer replaces the reference's seven per-script
+``main()`` copies (HQAViT_CIFAR100.py:1488-1765 and friends): preset
+selection picks the model/variant/dataset; the loop wires data -> device
+augmentation -> jit'd train step -> validation (live + EMA) -> epoch
+summary -> metrics JSON -> best/EMA/periodic checkpoints -> resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qavit_tpu.utils import enable_compilation_cache
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="qavit-tpu trainer")
+    p.add_argument("--preset", required=True)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--base-lr", type=float, default=None)
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--resume", default=None,
+                   help="checkpoint dir to resume from (true step resume)")
+    p.add_argument("--init-from", default=None,
+                   help="pretrained checkpoint for transfer (head dropped, "
+                        "pos-embed resized)")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="force synthetic data (no dataset files needed)")
+    p.add_argument("--max-steps-per-epoch", type=int, default=None,
+                   help="truncate epochs (smoke runs)")
+    p.add_argument("--no-cache", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if not args.no_cache:
+        enable_compilation_cache()
+
+    from qavit_tpu.ckpt import (CheckpointManager, load_for_transfer,
+                                restore_train_state)
+    from qavit_tpu.configs import get_preset
+    from qavit_tpu.data import (BatchLoader, augment_batch, eval_batch,
+                                get_pipeline, load_dataset)
+    from qavit_tpu.eval import evaluate
+    from qavit_tpu.nn import init_model
+    from qavit_tpu.obs import GradientMonitor, TrainingLogger, print_analysis
+    from qavit_tpu.parallel import (make_dp_eval_step, make_gspmd_train_step,
+                                    make_mesh, shard_batch)
+    from qavit_tpu.train import (create_train_state, ema_distance,
+                                 ema_warmup_decay, make_eval_step,
+                                 make_optimizer, make_schedule,
+                                 make_train_step)
+
+    preset = get_preset(args.preset)
+    mc, tc = preset.model, preset.train
+    overrides = {}
+    for field, key in (("epochs", "epochs"), ("batch_size", "batch_size"),
+                       ("base_lr", "base_lr"), ("data_root", "data_root"),
+                       ("checkpoint_dir", "checkpoint_dir"),
+                       ("log_dir", "log_dir"), ("seed", "seed")):
+        v = getattr(args, field if field != "batch_size" else "batch_size")
+        if v is not None:
+            overrides[key] = v
+    tc = tc.replace(**overrides)
+
+    print(f"preset={args.preset} model={mc.name} dataset={preset.dataset}")
+
+    # data ---------------------------------------------------------------
+    pipe = get_pipeline(preset.dataset)
+    data_root = "/nonexistent" if args.synthetic else tc.data_root
+    ds = load_dataset(pipe.base_dataset, data_root)
+    if ds.synthetic:
+        print("WARNING: dataset files not found -> synthetic data")
+
+    n_dev = jax.device_count()
+    mesh = make_mesh() if n_dev > 1 else None
+    global_batch = tc.batch_size
+    eval_bs = tc.eval_batch_size or 2 * global_batch
+
+    train_loader = BatchLoader(ds.train_images, ds.train_labels,
+                               global_batch, shuffle=True, seed=tc.seed)
+    val_loader = BatchLoader(ds.test_images, ds.test_labels, eval_bs,
+                             shuffle=False, drop_last=False)
+    steps_per_epoch = len(train_loader)
+    if args.max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
+
+    # model / optimizer ----------------------------------------------------
+    rng = jax.random.PRNGKey(tc.seed)
+    model, variables = init_model(mc, rng)
+    print_analysis(mc, variables["params"])
+
+    if args.init_from:
+        print(f"transfer init from {args.init_from}")
+        params = load_for_transfer(args.init_from, variables["params"],
+                                   drop_head=True)
+        variables = dict(variables)
+        variables["params"] = params
+
+    sched = make_schedule(tc, steps_per_epoch)
+    tx = make_optimizer(tc, steps_per_epoch, sched)
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"),
+                               use_ema=tc.use_ema, ema_decay=tc.ema_decay)
+
+    start_epoch = 1
+    if args.resume:
+        state, meta = restore_train_state(args.resume, state)
+        start_epoch = int(state.step) // max(steps_per_epoch, 1) + 1
+        print(f"resumed from {args.resume} at step {int(state.step)} "
+              f"(epoch {start_epoch})")
+
+    if mesh is not None:
+        train_step = make_gspmd_train_step(model, tx, mc, tc, mesh, sched)
+        eval_step = make_dp_eval_step(model, mc, mesh)
+        eval_step_ema = make_dp_eval_step(model, mc, mesh, use_ema=True)
+    else:
+        train_step = make_train_step(model, tx, mc, tc, sched)
+        eval_step = make_eval_step(model, mc)
+        eval_step_ema = make_eval_step(model, mc, use_ema=True)
+
+    logger = TrainingLogger(tc.log_dir, track_ema=tc.use_ema)
+    monitor = GradientMonitor()
+    ckpts = CheckpointManager(tc.checkpoint_dir, mc, tc, tc.save_freq)
+    aug_cfg = pipe.aug
+    step_rng = jax.random.PRNGKey(tc.seed + 1)
+
+    def prep_eval(images_u8):
+        return eval_batch(images_u8, aug_cfg)
+
+    for epoch in range(start_epoch, tc.epochs + 1):
+        t_epoch = time.time()
+        if tc.use_ema:
+            decay = ema_warmup_decay(epoch, tc.warmup_epochs,
+                                     tc.ema_decay_warmup, tc.ema_decay)
+            state = state.replace(ema_decay=jnp.float32(decay))
+
+        # ---- train ----
+        loss_sum = 0.0
+        correct = 0
+        seen = 0
+        last_grad_norm = 0.0
+        for i, (images_u8, labels) in enumerate(train_loader):
+            if i >= steps_per_epoch:
+                break
+            aug_rng = jax.random.fold_in(step_rng, int(state.step))
+            images = augment_batch(aug_rng, images_u8, aug_cfg)
+            if mesh is not None:
+                images, labels = shard_batch(mesh, images, labels)
+            state, m = train_step(state, images, labels, step_rng)
+            loss_sum += float(m["loss"])
+            correct += int(m["correct"])
+            seen += int(m["count"])
+            last_grad_norm = float(m["grad_norm"])
+            if monitor.log(last_grad_norm, float(m["param_norm"])):
+                print(f"!! GRADIENT EXPLOSION at epoch {epoch} step {i} "
+                      f"(norm {last_grad_norm:.1f})")
+            if i % tc.print_freq == 0:
+                print(f"Epoch {epoch:3d} [{i:4d}/{steps_per_epoch:4d}] | "
+                      f"Loss: {loss_sum / (i + 1):.4f} | "
+                      f"Acc: {100.0 * correct / max(seen, 1):6.2f}% | "
+                      f"LR: {float(m.get('lr', 0)):.6f} | "
+                      f"Grad: {last_grad_norm:.4f}")
+
+        train_loss = loss_sum / max(steps_per_epoch, 1)
+        train_acc = 100.0 * correct / max(seen, 1)
+
+        # ---- validate ----
+        metrics = {"train_loss": train_loss, "train_acc": train_acc,
+                   "lr": float(sched(state.step)),
+                   "grad_norm": last_grad_norm}
+        if epoch % tc.eval_freq == 0:
+            r = evaluate(eval_step, state, val_loader, preprocess=prep_eval)
+            metrics.update(val_loss=r["loss"], val_acc=r["top1"])
+            ema_val_acc = None
+            if tc.use_ema:
+                re = evaluate(eval_step_ema, state, val_loader,
+                              preprocess=prep_eval)
+                pd, _ = ema_distance(state.ema_params, state.params)
+                metrics.update(ema_val_loss=re["loss"],
+                               ema_val_acc=re["top1"],
+                               ema_param_dist=float(pd))
+                ema_val_acc = re["top1"]
+            metrics["epoch_time"] = time.time() - t_epoch
+            logger.log_epoch(epoch, metrics)
+            logger.print_epoch_summary(epoch, metrics)
+            saved = ckpts.maybe_save(state, epoch, metrics["val_acc"],
+                                     ema_val_acc)
+            if saved["best"]:
+                print(f"Best model saved! Val Acc: {ckpts.best_acc:.2f}")
+            if saved["best_ema"]:
+                print(f"Best EMA model saved! EMA Val Acc: "
+                      f"{ckpts.best_ema_acc:.2f}")
+            logger.save()
+
+    logger.save()
+    logger.plot()
+    print(f"Training complete! Best Val Acc: {ckpts.best_acc:.2f}%")
+    return ckpts.best_acc
+
+
+if __name__ == "__main__":
+    main()

@@ -67,8 +67,9 @@ class QAViT(nn.Module):
     pmean_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False,
-                 bank_count=0) -> Tuple[jax.Array, BankState]:
+    def __call__(self, x, train: bool = False, bank_count=0,
+                 return_features: bool = False
+                 ) -> Tuple[jax.Array, BankState]:
         cfg = self.cfg
         dtype = _dtype_of(cfg)
 
@@ -94,6 +95,8 @@ class QAViT(nn.Module):
 
         t = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="norm")(t)
         pooled = t.mean(axis=1)
+        if return_features:
+            return pooled.astype(jnp.float32), state
         logits = nn.Dense(cfg.num_classes, dtype=dtype,
                           kernel_init=dense_init, name="head")(pooled)
         return logits.astype(jnp.float32), state
@@ -107,8 +110,9 @@ class HQAViT(nn.Module):
     pmean_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False,
-                 bank_count=0) -> Tuple[jax.Array, BankState]:
+    def __call__(self, x, train: bool = False, bank_count=0,
+                 return_features: bool = False
+                 ) -> Tuple[jax.Array, BankState]:
         cfg = self.cfg
         dtype = _dtype_of(cfg)
         hw = cfg.grid_size
@@ -156,6 +160,8 @@ class HQAViT(nn.Module):
 
         t = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="norm")(t)
         pooled = t.mean(axis=1)
+        if return_features:
+            return pooled.astype(jnp.float32), state
         logits = nn.Dense(cfg.num_classes, dtype=dtype,
                           kernel_init=dense_init, name="head")(pooled)
         return logits.astype(jnp.float32), state
