@@ -40,6 +40,10 @@ class AugConfig:
     erasing_prob: float = 0.0
     erasing_scale: Tuple[float, float] = (0.02, 0.33)
     erasing_ratio: Tuple[float, float] = (0.3, 3.3)
+    # RandomApply(GaussianBlur(kernel, sigma=(0.1, 2))) — STL pipeline
+    # (HQAViT_Tiny_stl10.py:193)
+    blur_prob: float = 0.0
+    blur_kernel: int = 3
     # RandomResizedCrop for STL/SimCLR (scale range); None = plain crop
     rrc_scale: Optional[Tuple[float, float]] = None
 
@@ -298,6 +302,29 @@ def rand_augment(rng, img, num_ops: int, magnitude: int):
     return img
 
 
+def gaussian_blur(rng, img, kernel_size: int = 3,
+                  sigma_range=(0.1, 2.0)):
+    """Separable Gaussian blur with random sigma (torchvision
+    GaussianBlur semantics)."""
+    sigma = jax.random.uniform(rng, (), minval=sigma_range[0],
+                               maxval=sigma_range[1])
+    r = kernel_size // 2
+    xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    k = jnp.exp(-(xs ** 2) / (2.0 * sigma ** 2))
+    k = k / k.sum()
+    c = img.shape[-1]
+    x = img[None].transpose(0, 3, 1, 2)          # [1, C, H, W]
+    kh = jnp.broadcast_to(k.reshape(1, 1, kernel_size, 1),
+                          (c, 1, kernel_size, 1))
+    kw = jnp.broadcast_to(k.reshape(1, 1, 1, kernel_size),
+                          (c, 1, 1, kernel_size))
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "SAME",
+                                     feature_group_count=c)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "SAME",
+                                     feature_group_count=c)
+    return x[0].transpose(1, 2, 0)
+
+
 # ---------------------------------------------------------------------------
 # erasing + normalize
 # ---------------------------------------------------------------------------
@@ -378,6 +405,11 @@ def _augment_one(rng, img_u8, cfg: AugConfig):
     if cfg.randaug_ops > 0:
         rng, r = jax.random.split(rng)
         img = rand_augment(r, img, cfg.randaug_ops, cfg.randaug_magnitude)
+    if cfg.blur_prob > 0:
+        rng, r_do, r_sig = jax.random.split(rng, 3)
+        blurred = gaussian_blur(r_sig, img, cfg.blur_kernel)
+        img = jnp.where(jax.random.bernoulli(r_do, cfg.blur_prob), blurred,
+                        img)
     img = normalize(img / 255.0, cfg.mean, cfg.std)
     if cfg.erasing_prob > 0:
         rng, r = jax.random.split(rng)

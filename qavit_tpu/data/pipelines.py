@@ -45,11 +45,12 @@ PIPELINES = {
                      jitter=(0.4, 0.4, 0.4, 0.1), jitter_prob=1.0,
                      randaug_ops=2, randaug_magnitude=11,
                      erasing_prob=0.3),
-    # HQAViT_Tiny_stl10.py:160-247 (GaussianBlur p=.25 pending)
+    # HQAViT_Tiny_stl10.py:160-247
     "stl10": _spec("stl10", "stl10", rrc_scale=(0.6, 1.0),
                    rotation_deg=15.0, jitter=(0.4, 0.4, 0.4, 0.1),
-                   jitter_prob=0.8, randaug_ops=2, randaug_magnitude=9,
-                   erasing_prob=0.3),
+                   jitter_prob=1.0, randaug_ops=2, randaug_magnitude=9,
+                   blur_prob=0.25, blur_kernel=3,
+                   erasing_prob=0.3, erasing_scale=(0.02, 0.2)),
     # SimCLR two-view pipeline reuses stl10 aug (qavit_tpu/train/simclr.py)
     "stl10_unlabeled": _spec("stl10_unlabeled", "stl10",
                              rrc_scale=(0.2, 1.0),

@@ -35,7 +35,7 @@ class ConvNeXtBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(y)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, kernel_init=dense_init,
                      name="pwconv1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, kernel_init=dense_init,
                      name="pwconv2")(y)
         if self.layer_scale_init is not None:
@@ -64,14 +64,17 @@ class CNNStemV1(nn.Module):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, dtype=self.dtype, name=name)
 
-        y = nn.Conv(32, (3, 3), strides=2, padding="SAME", dtype=self.dtype,
+        # explicit symmetric padding: torch Conv2d(k=3, s=2, p=1); flax
+        # "SAME" would pad asymmetrically for stride 2 and shift the grid
+        y = nn.Conv(32, (3, 3), strides=2, padding=((1, 1), (1, 1)),
+                    dtype=self.dtype,
                     kernel_init=conv_init, name="stem_conv")(x)
-        y = nn.gelu(bn("stem_bn")(y))
+        y = nn.gelu(bn("stem_bn")(y), approximate=False)
 
-        y = nn.Conv(self.c2, (3, 3), strides=2, padding="SAME",
+        y = nn.Conv(self.c2, (3, 3), strides=2, padding=((1, 1), (1, 1)),
                     dtype=self.dtype, kernel_init=conv_init,
                     name="stage1_conv")(y)
-        y = nn.gelu(bn("stage1_bn")(y))
+        y = nn.gelu(bn("stage1_bn")(y), approximate=False)
         f2 = ConvNeXtBlock(self.c2, dtype=self.dtype, name="stage1_block")(
             y, train)
 
@@ -123,7 +126,8 @@ class CNNStemConvNeXt(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         ls = 1e-6
-        y = nn.Conv(self.c2, (4, 4), strides=4, dtype=self.dtype,
+        y = nn.Conv(self.c2, (4, 4), strides=4, padding="VALID",
+                    dtype=self.dtype,
                     kernel_init=conv_init, name="stem_conv")(x)
         y = SpatialLayerNorm(dtype=self.dtype, name="stem_norm")(y)
 
@@ -179,7 +183,7 @@ class LMFAdapter(nn.Module):
                                 self.embed_dim)
         tokens = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                               name="norm")(tokens)
-        return nn.gelu(tokens)
+        return nn.gelu(tokens, approximate=False)
 
 
 class RRCV(nn.Module):
@@ -234,7 +238,7 @@ class SplitFusion(nn.Module):
                      name="cat_fc")(t_cat)
         y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                          name="cat_norm")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         t_cat_out = t_in + y
 

@@ -134,7 +134,7 @@ class BottleneckMLP(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      kernel_init=dense_init, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.output_dim, dtype=self.dtype,
                      kernel_init=dense_init, name="fc2")(x)
@@ -192,7 +192,7 @@ class CCFFFN(nn.Module):
         hidden = int(self.embed_dim * self.mlp_ratio)
         y = nn.Dense(hidden, dtype=self.dtype, kernel_init=dense_init,
                      name="fc1")(x)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         if self.stabilized:
             y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                              name="dwconv_norm")(y)

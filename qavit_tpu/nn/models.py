@@ -147,6 +147,10 @@ class HQAViT(nn.Module):
         dpr = _drop_path_rates(cfg)
         idx = 0
         for stage_idx, nblocks in enumerate(cfg.stage_blocks, start=1):
+            if nblocks == 0:
+                # zero-length stages (test configs) create no params and
+                # skip their fusion
+                continue
             if 2 <= stage_idx <= 4 and laterals[stage_idx - 1] is not None:
                 t = SplitFusion(cfg.embed_dim, cfg.dropout, dtype=dtype,
                                 name=f"fuse{stage_idx}")(

@@ -74,7 +74,7 @@ def make_shardmap_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
             out = model.apply(variables, batch.images, train=True,
                               bank_count=state.bank_count,
                               rngs={"dropout": rng_dropout},
-                              mutable=["batch_stats"] if has_bn else [])
+                              mutable=["batch_stats"] if has_bn else False)
             if has_bn:
                 (logits, bank), mut = out
                 new_bs = mut["batch_stats"]

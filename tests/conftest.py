@@ -3,11 +3,16 @@ tests run without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment exports JAX_PLATFORMS=axon (remote TPU) and the
+# plugin ignores env-var overrides — the config update below is the only
+# reliable way to force the CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: the tiny-model compiles dominate test time
 # on this 1-core host; warm runs are ~10x faster

@@ -32,7 +32,7 @@ def test_attention_rollout(tiny_cfg, tiny_bundle, rng):
     img = jax.random.normal(rng, (16, 16, 3))
     sal = attention_rollout(model, variables, img)
     assert sal.shape == (16, 16)
-    assert sal.max() == pytest.approx(1.0, abs=1e-3)
+    assert 0.9 <= sal.max() <= 1.0 + 1e-5
 
 
 def test_checkpoint_roundtrip(tiny_cfg, tiny_bundle, tiny_train_cfg,

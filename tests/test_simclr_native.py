@@ -1,0 +1,70 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qavit_tpu.train.simclr import SimCLRNet, nt_xent_loss
+
+
+def test_nt_xent_aligned_vs_random(rng):
+    z = jax.random.normal(rng, (8, 16))
+    aligned = nt_xent_loss(jnp.concatenate([z, z + 1e-3]), 0.1)
+    rand = nt_xent_loss(jax.random.normal(jax.random.PRNGKey(1), (16, 16)),
+                        0.5)
+    assert float(aligned) < 0.1
+    # random projections ~ uniform over 2B-1 = 15 negatives
+    assert abs(float(rand) - np.log(15)) < 0.6
+
+
+def test_simclr_net_and_step(tiny_cfg, rng):
+    import optax
+
+    from qavit_tpu.configs import TrainingConfig
+    from qavit_tpu.train import create_train_state
+    from qavit_tpu.train.simclr import make_simclr_train_step
+
+    cfg = tiny_cfg.replace(stem_kind="convnext")  # no batch_stats path
+    model = SimCLRNet(cfg, proj_dim=8)
+    dummy = jnp.zeros((2, 16, 16, 3))
+    variables = model.init({"params": rng, "dropout": rng}, dummy,
+                           train=True)
+    z, bank = model.apply(variables, dummy, train=False, bank_count=0)
+    assert z.shape == (2, 8)
+    # backbone head params must NOT exist (features-only path)
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    names = ["/".join(getattr(p, "key", str(p)) for p in path)
+             for path, _ in flat]
+    assert not any(n.startswith("HQAViT_0/head") for n in names)
+
+    tx = optax.adamw(1e-3)
+    state = create_train_state(variables["params"], tx, use_ema=False)
+    step = make_simclr_train_step(model, tx, TrainingConfig(donate=False),
+                                  0.5)
+    v1 = jax.random.normal(rng, (4, 16, 16, 3))
+    v2 = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    state2, m = step(state, v1, v2, rng)
+    assert np.isfinite(float(m["loss"]))
+    assert int(state2.step) == 1
+    assert int(state2.bank_count) == 3 * cfg.depth
+
+
+def test_native_batcher_roundtrip():
+    native = pytest.importorskip("qavit_tpu.native")
+    if not native.is_available():
+        pytest.skip("no toolchain")
+    imgs = np.arange(24 * 8 * 8 * 3, dtype=np.uint8).reshape(24, 8, 8, 3)
+    lbls = np.arange(24, dtype=np.int32)
+    ld = native.NativeBatchLoader(imgs, lbls, batch_size=8, shuffle=True,
+                                  seed=3)
+    assert len(ld) == 3
+    seen = []
+    for x, y in ld:
+        assert x.shape == (8, 8, 8, 3)
+        seen.extend(np.asarray(y).tolist())
+    assert sorted(seen) == list(range(24))
+    # content integrity: each batch row equals the source row of its label
+    for x, y in ld:
+        xs, ys = np.asarray(x), np.asarray(y)
+        for i in range(len(ys)):
+            np.testing.assert_array_equal(xs[i], imgs[ys[i]])
+        break

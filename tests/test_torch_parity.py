@@ -1,0 +1,91 @@
+"""Numerical parity vs the reference PyTorch implementation.
+
+Loads the reference module read-only from /root/reference (never copied),
+builds the torch HQAViT / QAViT at the flagship configs, imports its
+state_dict through qavit_tpu.ckpt.torch_import, and compares eval-mode
+logits (fp32).  This validates every layer's math end to end —
+tolerance-based per SURVEY.md §7 hard part 4.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+# the reference trainers import torchvision (absent here) at module top for
+# their data loaders; the model classes never touch it — stub it out
+import types  # noqa: E402
+
+if "torchvision" not in sys.modules:
+    _tv = types.ModuleType("torchvision")
+    _tv.datasets = types.ModuleType("torchvision.datasets")
+    _tv.transforms = types.ModuleType("torchvision.transforms")
+    sys.modules["torchvision"] = _tv
+    sys.modules["torchvision.datasets"] = _tv.datasets
+    sys.modules["torchvision.transforms"] = _tv.transforms
+
+sys.path.insert(0, "/root/reference")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from qavit_tpu.ckpt.torch_import import import_torch_state_dict  # noqa: E402
+from qavit_tpu.configs import get_preset  # noqa: E402
+from qavit_tpu.nn import init_model  # noqa: E402
+
+
+@pytest.mark.slow
+def test_hqavit_logits_parity():
+    import HQAViT_CIFAR100 as ref
+
+    torch.manual_seed(0)
+    tcfg = ref.HQAViTConfig()
+    tmodel = ref.HQAViT(tcfg).eval()
+
+    preset = get_preset("hqavit_c100")
+    mc = preset.model.replace(dtype="float32")
+    model, variables = init_model(mc, jax.random.PRNGKey(0))
+
+    params, batch_stats = import_torch_state_dict(
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()},
+        variables["params"], variables.get("batch_stats"))
+
+    x = np.random.RandomState(0).randn(4, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = tmodel(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).numpy()
+
+    ours, _ = model.apply({"params": params, "batch_stats": batch_stats},
+                          jnp.asarray(x), train=False, bank_count=0)
+    ours = np.asarray(ours)
+
+    np.testing.assert_allclose(ours, ref_logits, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_qavit_extreme_logits_parity():
+    import QAViTV2_EXTREME as ref
+
+    torch.manual_seed(0)
+    tcfg = ref.QAViTConfig()
+    tmodel = ref.QAViT(tcfg).eval()
+
+    preset = get_preset("qavit_v2_extreme")
+    mc = preset.model.replace(dtype="float32")
+    model, variables = init_model(mc, jax.random.PRNGKey(0))
+
+    params, _ = import_torch_state_dict(
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()},
+        variables["params"])
+
+    x = np.random.RandomState(1).randn(4, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = tmodel(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).numpy()
+
+    ours, _ = model.apply({"params": params}, jnp.asarray(x), train=False,
+                          bank_count=0)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=2e-3,
+                               rtol=1e-3)
