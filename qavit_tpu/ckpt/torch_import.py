@@ -41,6 +41,19 @@ _SEG_MAP = {
     "block0": "blocks.0",
     "block1": "blocks.1",
     "block2": "blocks.2",
+    # v2 ConvNeXt patchify stem (HQAViTv2_CIFAR100.py:753-832)
+    "stem_norm": "stem.1",
+    "stage2_block0": "stage2.0",
+    "stage2_block1": "stage2.1",
+    "stage3_block0": "stage3.0",
+    "stage3_block1": "stage3.1",
+    "stage3_block2": "stage3.2",
+    "stage4_block0": "stage4.0",
+    "stage4_block1": "stage4.1",
+    "down2_norm": "downsample2.0",
+    "down2_conv": "downsample2.1",
+    "down3_norm": "downsample3.0",
+    "down3_conv": "downsample3.1",
 }
 
 _BANK_MAP = {
@@ -105,6 +118,10 @@ def _transform(tv: np.ndarray, target_shape, kind: str) -> np.ndarray:
     elif kind == "maybe_transpose":
         if tv.ndim == 2 and tv.shape != tuple(target_shape):
             tv = tv.T
+    if (kind == "as_is" and tv.ndim == 3 and len(target_shape) == 3
+            and tuple(tv.shape) != tuple(target_shape)):
+        # spatial LayerNorm affine: torch [C, H, W] -> NHWC [H, W, C]
+        tv = tv.transpose(1, 2, 0)
     if tuple(tv.shape) != tuple(target_shape):
         tv = tv.reshape(target_shape)
     return tv

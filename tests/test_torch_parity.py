@@ -36,6 +36,21 @@ from qavit_tpu.configs import get_preset  # noqa: E402
 from qavit_tpu.nn import init_model  # noqa: E402
 
 
+
+def _randomize(tmodel):
+    """Perturb every parameter and BN stat so layout bugs can't hide
+    behind constant-initialised tensors (LN scales, gammas, zeros)."""
+    g = torch.Generator().manual_seed(123)
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            p.add_(torch.randn(p.shape, generator=g) * 0.02)
+        for name, b in tmodel.named_buffers():
+            if "running_mean" in name:
+                b.add_(torch.randn(b.shape, generator=g) * 0.1)
+            elif "running_var" in name:
+                b.mul_(torch.rand(b.shape, generator=g) * 0.5 + 0.75)
+
+
 @pytest.mark.slow
 def test_hqavit_logits_parity():
     import HQAViT_CIFAR100 as ref
@@ -43,6 +58,7 @@ def test_hqavit_logits_parity():
     torch.manual_seed(0)
     tcfg = ref.HQAViTConfig()
     tmodel = ref.HQAViT(tcfg).eval()
+    _randomize(tmodel)
 
     preset = get_preset("hqavit_c100")
     mc = preset.model.replace(dtype="float32")
@@ -71,6 +87,7 @@ def test_qavit_extreme_logits_parity():
     torch.manual_seed(0)
     tcfg = ref.QAViTConfig()
     tmodel = ref.QAViT(tcfg).eval()
+    _randomize(tmodel)
 
     preset = get_preset("qavit_v2_extreme")
     mc = preset.model.replace(dtype="float32")
@@ -88,4 +105,58 @@ def test_qavit_extreme_logits_parity():
     ours, _ = model.apply({"params": params}, jnp.asarray(x), train=False,
                           bank_count=0)
     np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=2e-3,
+                               rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_hqavit_v2_stem_logits_parity():
+    import HQAViTv2_CIFAR100 as ref
+
+    torch.manual_seed(0)
+    tmodel = ref.HQAViT(ref.HQAViTConfig()).eval()
+    _randomize(tmodel)
+
+    preset = get_preset("hqavit_v2_c100")
+    mc = preset.model.replace(dtype="float32")
+    model, variables = init_model(mc, jax.random.PRNGKey(0))
+
+    params, batch_stats = import_torch_state_dict(
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()},
+        variables["params"], variables.get("batch_stats"))
+
+    x = np.random.RandomState(2).randn(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = tmodel(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).numpy()
+    v = {"params": params}
+    if batch_stats:
+        v["batch_stats"] = batch_stats
+    ours, _ = model.apply(v, jnp.asarray(x), train=False, bank_count=0)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=2e-3,
+                               rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_hqavit_tiny_in_logits_parity():
+    import HQAViT_IN_Tiny as ref
+
+    torch.manual_seed(0)
+    tmodel = ref.HQAViT(ref.HQAViTConfig()).eval()
+    _randomize(tmodel)
+
+    preset = get_preset("hqavit_tiny_in")
+    mc = preset.model.replace(dtype="float32")
+    model, variables = init_model(mc, jax.random.PRNGKey(0))
+
+    params, batch_stats = import_torch_state_dict(
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()},
+        variables["params"], variables.get("batch_stats"))
+
+    x = np.random.RandomState(3).randn(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = tmodel(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).numpy()
+    ours, _ = model.apply({"params": params, "batch_stats": batch_stats},
+                          jnp.asarray(x), train=False, bank_count=0)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=3e-3,
                                rtol=1e-3)
