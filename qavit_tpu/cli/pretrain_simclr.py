@@ -77,14 +77,16 @@ def main(argv=None):
 
     logger = TrainingLogger(args.log_dir)
     rng_aug = jax.random.PRNGKey(1)
+    host_step = 0
     for epoch in range(1, args.epochs + 1):
         t0 = time.time()
         loss_sum, n = 0.0, 0
         for i, (images_u8, _) in enumerate(loader):
             if i >= steps_per_epoch:
                 break
-            r1 = jax.random.fold_in(rng_aug, 2 * int(state.step))
-            r2 = jax.random.fold_in(rng_aug, 2 * int(state.step) + 1)
+            r1 = jax.random.fold_in(rng_aug, 2 * host_step)
+            r2 = jax.random.fold_in(rng_aug, 2 * host_step + 1)
+            host_step += 1
             v1 = augment_batch(r1, images_u8, pipe.aug)
             v2 = augment_batch(r2, images_u8, pipe.aug)
             state, m = step(state, v1, v2, rng)

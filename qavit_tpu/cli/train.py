@@ -138,6 +138,8 @@ def main(argv=None):
     ckpts = CheckpointManager(tc.checkpoint_dir, mc, tc, tc.save_freq)
     aug_cfg = pipe.aug
     step_rng = jax.random.PRNGKey(tc.seed + 1)
+    host_step = int(state.step)  # host-side mirror: avoids a device sync
+                                 # (and dispatch stall) every step
 
     def prep_eval(images_u8):
         return eval_batch(images_u8, aug_cfg)
@@ -150,33 +152,48 @@ def main(argv=None):
             state = state.replace(ema_decay=jnp.float32(decay))
 
         # ---- train ----
+        # metrics stay on device until a print boundary: converting every
+        # step would stall the async dispatch pipeline
+        pending = []
         loss_sum = 0.0
         correct = 0
         seen = 0
         last_grad_norm = 0.0
+        steps_done = 0
+
+        def drain():
+            nonlocal loss_sum, correct, seen, last_grad_norm, steps_done
+            for m in pending:
+                loss_sum += float(m["loss"])
+                correct += int(m["correct"])
+                seen += int(m["count"])
+                last_grad_norm = float(m["grad_norm"])
+                steps_done += 1
+                if monitor.log(last_grad_norm, float(m["param_norm"])):
+                    print(f"!! GRADIENT EXPLOSION at epoch {epoch} "
+                          f"(norm {last_grad_norm:.1f})")
+            pending.clear()
+
         for i, (images_u8, labels) in enumerate(train_loader):
             if i >= steps_per_epoch:
                 break
-            aug_rng = jax.random.fold_in(step_rng, int(state.step))
+            aug_rng = jax.random.fold_in(step_rng, host_step)
+            host_step += 1
             images = augment_batch(aug_rng, images_u8, aug_cfg)
             if mesh is not None:
                 images, labels = shard_batch(mesh, images, labels)
             state, m = train_step(state, images, labels, step_rng)
-            loss_sum += float(m["loss"])
-            correct += int(m["correct"])
-            seen += int(m["count"])
-            last_grad_norm = float(m["grad_norm"])
-            if monitor.log(last_grad_norm, float(m["param_norm"])):
-                print(f"!! GRADIENT EXPLOSION at epoch {epoch} step {i} "
-                      f"(norm {last_grad_norm:.1f})")
+            pending.append(m)
             if i % tc.print_freq == 0:
+                drain()
                 print(f"Epoch {epoch:3d} [{i:4d}/{steps_per_epoch:4d}] | "
-                      f"Loss: {loss_sum / (i + 1):.4f} | "
+                      f"Loss: {loss_sum / max(steps_done, 1):.4f} | "
                       f"Acc: {100.0 * correct / max(seen, 1):6.2f}% | "
                       f"LR: {float(m.get('lr', 0)):.6f} | "
                       f"Grad: {last_grad_norm:.4f}")
+        drain()
 
-        train_loss = loss_sum / max(steps_per_epoch, 1)
+        train_loss = loss_sum / max(steps_done, 1)
         train_acc = 100.0 * correct / max(seen, 1)
 
         # ---- validate ----
