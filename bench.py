@@ -29,7 +29,8 @@ def main() -> None:
     from qavit_tpu.configs import get_preset
     from qavit_tpu.nn import init_model
     from qavit_tpu.train import (create_train_state, make_optimizer,
-                                 make_schedule, make_train_step)
+                                 make_schedule)
+    from qavit_tpu.train.steps import make_scanned_train_step
 
     preset = get_preset("hqavit_c100")
     mc, tc = preset.model, preset.train
@@ -41,24 +42,27 @@ def main() -> None:
     state = create_train_state(variables["params"], tx,
                                variables.get("batch_stats"),
                                use_ema=tc.use_ema, ema_decay=tc.ema_decay)
-    step = make_train_step(model, tx, mc, tc, sched)
+    # K steps per dispatch (lax.scan) so the measurement is pure device
+    # throughput, not tunnel dispatch latency
+    k = 10
+    step = make_scanned_train_step(model, tx, mc, tc, sched, num_steps=k)
 
     batch = 1024  # single-chip throughput peaks past the reference's 256
     rng = jax.random.PRNGKey(1)
-    images = jax.random.normal(rng, (batch, 32, 32, 3), jnp.float32)
-    labels = jax.random.randint(jax.random.PRNGKey(2), (batch,), 0, 100)
+    images = jax.random.normal(rng, (k, batch, 32, 32, 3), jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (k, batch), 0, 100)
 
     # warmup / compile
-    for _ in range(3):
+    for _ in range(2):
         state, metrics = step(state, images, labels, rng)
     jax.block_until_ready(metrics["loss"])
 
-    iters = 30
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, images, labels, rng)
     jax.block_until_ready(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / (iters * k)
 
     img_per_sec = batch / dt
     print(json.dumps({

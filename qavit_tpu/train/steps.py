@@ -136,3 +136,27 @@ def make_eval_step(model, mc: ModelConfig, jit: bool = True,
     if jit:
         eval_step = jax.jit(eval_step)
     return eval_step
+
+
+def make_scanned_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
+                            schedule: Optional[Callable] = None,
+                            num_steps: int = 8, jit: bool = True):
+    """K train steps in ONE dispatch via lax.scan.
+
+    Removes per-step host dispatch latency entirely — the whole chunk runs
+    device-side.  Input: stacked batches ``images [K, B, H, W, C]``,
+    ``targets [K, B]``.  Returns (state, stacked metrics).
+    """
+    body = make_train_step(model, tx, mc, tc, schedule, jit=False)
+
+    def chunk(state: TrainState, images, targets, rng):
+        def scan_body(state, xs):
+            imgs, tgts = xs
+            state, m = body(state, imgs, tgts, rng)
+            return state, m
+
+        return jax.lax.scan(scan_body, state, (images, targets))
+
+    if jit:
+        chunk = jax.jit(chunk, donate_argnums=(0,) if tc.donate else ())
+    return chunk

@@ -109,3 +109,32 @@ def test_grad_stats_and_flops(tiny_cfg, tiny_bundle):
         x.size for x in jax.tree.leaves(variables["params"]))
     fl = analytic_flops(tiny_cfg)
     assert fl["total"] > 0
+
+
+def test_log_parse_roundtrip(tmp_path, capsys):
+    from qavit_tpu.obs import TrainingLogger
+    from qavit_tpu.obs.log_parse import parse_training_log, plot_history
+
+    log = TrainingLogger(tmp_path)
+    for epoch in (1, 2):
+        log.print_epoch_summary(epoch, {
+            "train_loss": 4.0 / epoch, "train_acc": 10.0 * epoch,
+            "val_loss": 4.1 / epoch, "val_acc": 9.0 * epoch,
+            "lr": 1e-3, "grad_norm": 0.5, "epoch_time": 100.0})
+    text = capsys.readouterr().out
+    logfile = tmp_path / "train.log"
+    logfile.write_text(text)
+    hist = parse_training_log(str(logfile))
+    assert hist["epoch"] == [1, 2]
+    assert hist["train_acc"] == [10.0, 20.0]
+    assert hist["val_acc"] == [9.0, 18.0]
+    out = plot_history(hist, str(tmp_path / "plot.png"))
+    assert out is not None
+
+
+def test_gaussian_blur_preserves_mass(rng):
+    from qavit_tpu.data.augment import gaussian_blur
+    img = jnp.zeros((9, 9, 3)).at[4, 4].set(255.0)
+    out = gaussian_blur(rng, img, 3)
+    assert abs(float(out.sum()) - 765.0) < 1.0
+    assert float(out[4, 4, 0]) < 255.0

@@ -148,3 +148,24 @@ def test_swap_bank(tiny_cfg, tiny_bundle, rng):
         np.asarray(swapped["global_bank"]["global_k"]), 1.0)
     # other params untouched
     assert swapped["head"] is params["head"]
+
+
+def test_scanned_train_step(tiny_cfg, tiny_bundle, tiny_train_cfg, rng):
+    from qavit_tpu.train.steps import make_scanned_train_step
+
+    model, variables = tiny_bundle
+    tc = tiny_train_cfg
+    sched = make_schedule(tc, 10)
+    tx = make_optimizer(tc, 10, sched)
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"), use_ema=True)
+    k, b = 3, 4
+    step = make_scanned_train_step(model, tx, tiny_cfg, tc, sched,
+                                   num_steps=k)
+    x = jax.random.normal(rng, (k, b, 16, 16, 3))
+    y = jnp.zeros((k, b), jnp.int32)
+    state2, metrics = step(state, x, y, rng)
+    assert int(state2.step) == k
+    assert int(state2.bank_count) == k * 3 * tiny_cfg.depth
+    assert metrics["loss"].shape == (k,)
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
