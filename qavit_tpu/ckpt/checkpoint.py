@@ -45,7 +45,9 @@ def save_train_state(path: str, state: TrainState,
     the reference embeds them in the .pth dicts, test_hqa.py:62-74)."""
     path = Path(path).resolve()
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path / "state", _to_pytree(state))
+        # force=True: best/best_ema checkpoints are overwritten every time
+        # the metric improves (HQAViT_CIFAR100.py:1687-1721 semantics)
+        ckptr.save(path / "state", _to_pytree(state), force=True)
     meta = {"metrics": metrics or {}}
     if model_config is not None:
         meta["model_config"] = model_config.to_dict()
