@@ -58,22 +58,44 @@ def save_train_state(path: str, state: TrainState,
 
 def restore_train_state(path: str, template: TrainState
                         ) -> Tuple[TrainState, Dict[str, Any]]:
-    """Restore a checkpoint into the shape/sharding of ``template``."""
+    """Restore a checkpoint and merge into ``template``.
+
+    Restores as-saved (no structural template) so a with-EMA checkpoint
+    loads into a no-EMA state and vice versa; opt_state is restored
+    structurally against the template (optax state is a custom pytree).
+    """
     path = Path(path).resolve()
+    tpl = _to_pytree(template)
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path / "state", _to_pytree(template))
+        restored = ckptr.restore(path / "state")
+        # opt_state (and EMA trees when both sides have them) need the
+        # template's pytree structure; re-restore those subtrees typed
+        sub_tpl = {"opt_state": tpl["opt_state"]}
+        restored_typed = ckptr.restore(path / "state",
+                                       {**restored, **sub_tpl})
     meta_file = path / "meta.json"
     meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
+
+    restored = restored_typed
+    has_ema = template.ema_params is not None
+
+    def as_tree(x):
+        return jax.tree.map(jax.numpy.asarray, x)
+
     state = template.replace(
-        step=restored["step"],
-        params=restored["params"],
+        step=jax.numpy.asarray(restored["step"]),
+        params=as_tree(restored["params"]),
         opt_state=restored["opt_state"],
-        batch_stats=restored["batch_stats"],
-        bank_count=restored["bank_count"],
-        ema_decay=restored["ema_decay"],
-        ema_params=restored.get("ema_params", template.ema_params),
-        ema_batch_stats=restored.get("ema_batch_stats",
-                                     template.ema_batch_stats),
+        batch_stats=as_tree(restored["batch_stats"]),
+        bank_count=jax.numpy.asarray(restored["bank_count"]),
+        ema_decay=jax.numpy.asarray(restored["ema_decay"]),
+        ema_params=(as_tree(restored["ema_params"])
+                    if has_ema and "ema_params" in restored
+                    else (as_tree(restored["params"]) if has_ema
+                          else None)),
+        ema_batch_stats=(as_tree(restored.get("ema_batch_stats",
+                                              restored["batch_stats"]))
+                         if has_ema else None),
     )
     return state, meta
 

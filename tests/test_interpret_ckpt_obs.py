@@ -138,3 +138,31 @@ def test_gaussian_blur_preserves_mass(rng):
     out = gaussian_blur(rng, img, 3)
     assert abs(float(out.sum()) - 765.0) < 1.0
     assert float(out[4, 4, 0]) < 255.0
+
+
+def test_restore_ema_checkpoint_into_no_ema_template(tiny_cfg, tiny_bundle,
+                                                     tiny_train_cfg,
+                                                     tmp_path):
+    """A with-EMA checkpoint must load into a no-EMA template (the eval
+    CLI path) and vice versa."""
+    model, variables = tiny_bundle
+    tx = make_optimizer(tiny_train_cfg, 10)
+    state_ema = create_train_state(variables["params"], tx,
+                                   variables.get("batch_stats"),
+                                   use_ema=True)
+    save_train_state(tmp_path / "ck", state_ema)
+    template = create_train_state(variables["params"], tx,
+                                  variables.get("batch_stats"),
+                                  use_ema=False)
+    restored, _ = restore_train_state(tmp_path / "ck", template)
+    assert restored.ema_params is None
+    # and the reverse: no-EMA checkpoint into with-EMA template
+    state_plain = create_train_state(variables["params"], tx,
+                                     variables.get("batch_stats"),
+                                     use_ema=False)
+    save_train_state(tmp_path / "ck2", state_plain)
+    template2 = create_train_state(variables["params"], tx,
+                                   variables.get("batch_stats"),
+                                   use_ema=True)
+    restored2, _ = restore_train_state(tmp_path / "ck2", template2)
+    assert restored2.ema_params is not None
