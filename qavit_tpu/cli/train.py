@@ -41,6 +41,9 @@ def parse_args(argv=None):
                    help="force synthetic data (no dataset files needed)")
     p.add_argument("--max-steps-per-epoch", type=int, default=None,
                    help="truncate epochs (smoke runs)")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="fuse K steps (+ their augmentation) into one "
+                        "device dispatch (single-chip fast path)")
     p.add_argument("--no-cache", action="store_true")
     return p.parse_args(argv)
 
@@ -91,11 +94,16 @@ def main(argv=None):
     global_batch = tc.batch_size
     eval_bs = tc.eval_batch_size or 2 * global_batch
 
+    spc = max(args.steps_per_call, 1)
+    if spc > 1 and mesh is not None:
+        print("steps-per-call > 1 is single-chip only; using 1")
+        spc = 1
     train_loader = BatchLoader(ds.train_images, ds.train_labels,
-                               global_batch, shuffle=True, seed=tc.seed)
+                               global_batch * spc, shuffle=True,
+                               seed=tc.seed)
     val_loader = BatchLoader(ds.test_images, ds.test_labels, eval_bs,
                              shuffle=False, drop_last=False)
-    steps_per_epoch = len(train_loader)
+    steps_per_epoch = len(train_loader) * spc
     if args.max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
 
@@ -124,12 +132,19 @@ def main(argv=None):
         print(f"resumed from {args.resume} at step {int(state.step)} "
               f"(epoch {start_epoch})")
 
+    pipe_aug = get_pipeline(preset.dataset).aug
     if mesh is not None:
         train_step = make_gspmd_train_step(model, tx, mc, tc, mesh, sched)
         eval_step = make_dp_eval_step(model, mc, mesh)
         eval_step_ema = make_dp_eval_step(model, mc, mesh, use_ema=True)
     else:
-        train_step = make_train_step(model, tx, mc, tc, sched)
+        if spc > 1:
+            from qavit_tpu.train.steps import make_fused_train_chunk
+            train_step = make_fused_train_chunk(model, tx, mc, tc, pipe_aug,
+                                                num_steps=spc,
+                                                schedule=sched)
+        else:
+            train_step = make_train_step(model, tx, mc, tc, sched)
         eval_step = make_eval_step(model, mc)
         eval_step_ema = make_eval_step(model, mc, use_ema=True)
 
@@ -162,34 +177,48 @@ def main(argv=None):
         steps_done = 0
 
         def drain():
+            # metrics may be scalars (per step) or [K] vectors (fused chunk)
             nonlocal loss_sum, correct, seen, last_grad_norm, steps_done
             for m in pending:
-                loss_sum += float(m["loss"])
-                correct += int(m["correct"])
-                seen += int(m["count"])
-                last_grad_norm = float(m["grad_norm"])
-                steps_done += 1
-                if monitor.log(last_grad_norm, float(m["param_norm"])):
-                    print(f"!! GRADIENT EXPLOSION at epoch {epoch} "
-                          f"(norm {last_grad_norm:.1f})")
+                loss_sum += float(np.sum(m["loss"]))
+                correct += int(np.sum(m["correct"]))
+                seen += int(np.sum(m["count"]))
+                gn = np.asarray(m["grad_norm"]).reshape(-1)
+                last_grad_norm = float(gn[-1])
+                steps_done += gn.size
+                pn = np.asarray(m["param_norm"]).reshape(-1)
+                for g, pnorm in zip(gn, pn):
+                    if monitor.log(float(g), float(pnorm)):
+                        print(f"!! GRADIENT EXPLOSION at epoch {epoch} "
+                              f"(norm {float(g):.1f})")
             pending.clear()
 
         for i, (images_u8, labels) in enumerate(train_loader):
-            if i >= steps_per_epoch:
+            if i * spc >= steps_per_epoch:
                 break
-            aug_rng = jax.random.fold_in(step_rng, host_step)
-            host_step += 1
-            images = augment_batch(aug_rng, images_u8, aug_cfg)
-            if mesh is not None:
-                images, labels = shard_batch(mesh, images, labels)
-            state, m = train_step(state, images, labels, step_rng)
+            if spc > 1:
+                # fused path: raw uint8 super-batch [K, B, ...]; aug runs
+                # inside the compiled chunk
+                shape = (spc, global_batch) + images_u8.shape[1:]
+                state, m = train_step(state,
+                                      images_u8.reshape(shape),
+                                      labels.reshape(spc, global_batch),
+                                      step_rng)
+                host_step += spc
+            else:
+                aug_rng = jax.random.fold_in(step_rng, host_step)
+                host_step += 1
+                images = augment_batch(aug_rng, images_u8, aug_cfg)
+                if mesh is not None:
+                    images, labels = shard_batch(mesh, images, labels)
+                state, m = train_step(state, images, labels, step_rng)
             pending.append(m)
             if i % tc.print_freq == 0:
                 drain()
-                print(f"Epoch {epoch:3d} [{i:4d}/{steps_per_epoch:4d}] | "
+                print(f"Epoch {epoch:3d} [{i * spc:4d}/"
+                      f"{steps_per_epoch:4d}] | "
                       f"Loss: {loss_sum / max(steps_done, 1):.4f} | "
                       f"Acc: {100.0 * correct / max(seen, 1):6.2f}% | "
-                      f"LR: {float(m.get('lr', 0)):.6f} | "
                       f"Grad: {last_grad_norm:.4f}")
         drain()
 

@@ -362,7 +362,8 @@ def normalize(img01, mean, std):
 # full pipelines
 # ---------------------------------------------------------------------------
 
-def _augment_one(rng, img_u8, cfg: AugConfig):
+def augment_image(rng, img_u8, cfg: AugConfig):
+    """Augment a single [H, W, 3] uint8 image (jit/vmap/scan-safe)."""
     img = img_u8.astype(jnp.float32)       # [0, 255]
     if cfg.rrc_scale is not None:
         rng, r = jax.random.split(rng)
@@ -423,7 +424,7 @@ def augment_batch(rng, images_u8, cfg: AugConfig):
     """uint8 [B, H, W, 3] -> normalized float32 [B, H, W, 3], one fused
     XLA program, per-image RNG streams."""
     rngs = jax.random.split(rng, images_u8.shape[0])
-    return jax.vmap(lambda r, im: _augment_one(r, im, cfg))(rngs, images_u8)
+    return jax.vmap(lambda r, im: augment_image(r, im, cfg))(rngs, images_u8)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -160,3 +160,37 @@ def make_scanned_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
     if jit:
         chunk = jax.jit(chunk, donate_argnums=(0,) if tc.donate else ())
     return chunk
+
+
+def make_fused_train_chunk(model, tx, mc: ModelConfig, tc: TrainingConfig,
+                           aug_cfg, num_steps: int = 8,
+                           schedule: Optional[Callable] = None,
+                           jit: bool = True):
+    """The fully-fused production path: device-side augmentation +
+    mixup/cutmix + K train steps in ONE dispatch (lax.scan).
+
+    The host only ships raw uint8 super-batches ``[K, B, H, W, 3]`` — the
+    entire torchvision-worker pipeline of the reference becomes part of
+    the compiled step.
+    """
+    from qavit_tpu.data.augment import augment_image
+
+    body = make_train_step(model, tx, mc, tc, schedule, jit=False)
+
+    def chunk(state: TrainState, images_u8, targets, rng):
+        aug_base = jax.random.fold_in(rng, 0x5EED)
+
+        def scan_body(state, xs):
+            imgs_u8, tgts = xs
+            aug_rng = jax.random.fold_in(aug_base, state.step)
+            rngs = jax.random.split(aug_rng, imgs_u8.shape[0])
+            images = jax.vmap(
+                lambda r, im: augment_image(r, im, aug_cfg))(rngs, imgs_u8)
+            state, m = body(state, images, tgts, rng)
+            return state, m
+
+        return jax.lax.scan(scan_body, state, (images_u8, targets))
+
+    if jit:
+        chunk = jax.jit(chunk, donate_argnums=(0,) if tc.donate else ())
+    return chunk

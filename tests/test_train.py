@@ -169,3 +169,26 @@ def test_scanned_train_step(tiny_cfg, tiny_bundle, tiny_train_cfg, rng):
     assert int(state2.bank_count) == k * 3 * tiny_cfg.depth
     assert metrics["loss"].shape == (k,)
     assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+
+def test_fused_train_chunk(tiny_cfg, tiny_bundle, tiny_train_cfg, rng):
+    from qavit_tpu.data import AugConfig
+    from qavit_tpu.train.steps import make_fused_train_chunk
+
+    model, variables = tiny_bundle
+    tc = tiny_train_cfg
+    sched = make_schedule(tc, 10)
+    tx = make_optimizer(tc, 10, sched)
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"), use_ema=True)
+    aug = AugConfig(mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25),
+                    crop_pad=2, randaug_ops=1, randaug_magnitude=5,
+                    erasing_prob=0.2)
+    k, b = 2, 4
+    chunk = make_fused_train_chunk(model, tx, tiny_cfg, tc, aug,
+                                   num_steps=k)
+    imgs = jnp.zeros((k, b, 16, 16, 3), jnp.uint8)
+    tgts = jnp.zeros((k, b), jnp.int32)
+    state2, metrics = chunk(state, imgs, tgts, rng)
+    assert int(state2.step) == k
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
