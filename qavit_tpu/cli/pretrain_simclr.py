@@ -63,8 +63,8 @@ def main(argv=None):
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": rng, "dropout": rng}, dummy, train=True)
 
-    total = steps_per_epoch * args.epochs
-    warm = steps_per_epoch * args.warmup_epochs
+    total = max(steps_per_epoch * args.epochs, 2)
+    warm = min(steps_per_epoch * args.warmup_epochs, total - 1)
     # observed: warmup starts at ~1/3 of peak (0.0141 of 0.0424)
     sched = optax.warmup_cosine_decay_schedule(
         init_value=args.peak_lr / 3, peak_value=args.peak_lr,

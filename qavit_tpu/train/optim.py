@@ -33,8 +33,9 @@ def _path_str(path) -> str:
 
 
 def make_schedule(tc: TrainingConfig, steps_per_epoch: int) -> Callable:
-    total = steps_per_epoch * tc.epochs
-    warmup = steps_per_epoch * tc.warmup_epochs
+    total = max(steps_per_epoch * tc.epochs, 2)
+    # smoke runs can truncate epochs below the warmup; keep schedules valid
+    warmup = min(steps_per_epoch * tc.warmup_epochs, total - 1)
     if tc.schedule == "onecycle":
         # OneCycleLR(cos anneal, pct_start=warmup/total, div_factor,
         # final_div_factor) — QAViT.py:896-904

@@ -166,3 +166,15 @@ def test_restore_ema_checkpoint_into_no_ema_template(tiny_cfg, tiny_bundle,
                                    use_ema=True)
     restored2, _ = restore_train_state(tmp_path / "ck2", template2)
     assert restored2.ema_params is not None
+
+
+def test_grad_cam_bf16_model(tiny_cfg, rng):
+    """The perturbation hook must not change the bf16 scan-carry dtype."""
+    from qavit_tpu.nn import init_model
+
+    cfg = tiny_cfg.replace(dtype="bfloat16")
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    img = jax.random.normal(rng, (16, 16, 3))
+    cam, cls = grad_cam(model, variables, img)
+    assert cam.shape == (16, 16)
+    assert np.isfinite(cam).all()
