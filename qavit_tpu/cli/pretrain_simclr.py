@@ -71,7 +71,8 @@ def main(argv=None):
         warmup_steps=warm, decay_steps=total, end_value=1e-6)
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(sched, weight_decay=1e-6))
-    state = create_train_state(variables["params"], tx, use_ema=False)
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"), use_ema=False)
     step = make_simclr_train_step(model, tx, preset.train,
                                   args.temperature, sched)
 

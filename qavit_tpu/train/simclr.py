@@ -69,14 +69,25 @@ def make_simclr_train_step(model: SimCLRNet, tx, tc: TrainingConfig,
     def train_step(state: TrainState, view1, view2, rng):
         rng = jax.random.fold_in(rng, state.step)
         images = jnp.concatenate([view1, view2], axis=0)
+        has_bn = bool(state.batch_stats)
 
         def loss_fn(params):
-            (z, bank) = model.apply({"params": params}, images, train=True,
-                                    bank_count=state.bank_count,
-                                    rngs={"dropout": rng})
-            return nt_xent_loss(z, temperature), bank
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+            out = model.apply(variables, images, train=True,
+                              bank_count=state.bank_count,
+                              rngs={"dropout": rng},
+                              mutable=["batch_stats"] if has_bn else False)
+            if has_bn:
+                (z, bank), mut = out
+                new_bs = mut["batch_stats"]
+            else:
+                (z, bank) = out
+                new_bs = state.batch_stats
+            return nt_xent_loss(z, temperature), (bank, new_bs)
 
-        (loss, bank), grads = jax.value_and_grad(
+        (loss, (bank, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         grad_norm = optax.global_norm(grads)
         params = swap_bank(state.params, bank)
@@ -87,6 +98,7 @@ def make_simclr_train_step(model: SimCLRNet, tx, tc: TrainingConfig,
             metrics["lr"] = schedule(state.step)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   opt_state=opt_state,
+                                  batch_stats=new_bs,
                                   bank_count=bank.count)
         return new_state, metrics
 

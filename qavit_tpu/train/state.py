@@ -48,15 +48,24 @@ def create_train_state(params, tx, batch_stats=None, use_ema: bool = True,
 def swap_bank(params, bank: BankState):
     """Write the post-forward bank carry back into the params — the
     functional equivalent of torch's in-place ``.data`` update having
-    already happened when ``optimizer.step()`` runs."""
-    if "global_bank" not in params:
-        return params
-    gb = dict(params["global_bank"])
-    gb["global_k"] = bank.k.astype(gb["global_k"].dtype)
-    gb["global_v"] = bank.v.astype(gb["global_v"].dtype)
-    out = dict(params)
-    out["global_bank"] = gb
-    return out
+    already happened when ``optimizer.step()`` runs.
+
+    Searches nested scopes so wrapped models (e.g. SimCLRNet's backbone
+    at ``HQAViT_0/global_bank``) work too.
+    """
+    if "global_bank" in params:
+        gb = dict(params["global_bank"])
+        gb["global_k"] = bank.k.astype(gb["global_k"].dtype)
+        gb["global_v"] = bank.v.astype(gb["global_v"].dtype)
+        out = dict(params)
+        out["global_bank"] = gb
+        return out
+    for key, sub in params.items():
+        if isinstance(sub, dict) and "global_bank" in sub:
+            out = dict(params)
+            out[key] = swap_bank(sub, bank)
+            return out
+    return params
 
 
 def ema_update(ema_params, params, decay):

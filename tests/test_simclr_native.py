@@ -68,3 +68,29 @@ def test_native_batcher_roundtrip():
         for i in range(len(ys)):
             np.testing.assert_array_equal(xs[i], imgs[ys[i]])
         break
+
+
+def test_simclr_bank_updates_persist(tiny_cfg, rng):
+    """The bank's forward-time updates must reach the nested backbone
+    params via swap_bank (SimCLR wraps the model one scope deep)."""
+    import optax
+
+    from qavit_tpu.configs import TrainingConfig
+    from qavit_tpu.train import create_train_state
+    from qavit_tpu.train.simclr import SimCLRNet, make_simclr_train_step
+
+    cfg = tiny_cfg.replace(stem_kind="convnext")
+    model = SimCLRNet(cfg, proj_dim=8)
+    dummy = jnp.zeros((2, 16, 16, 3))
+    variables = model.init({"params": rng, "dropout": rng}, dummy,
+                           train=True)
+    tx = optax.sgd(0.0)  # zero LR: only the bank's manual update can move
+    state = create_train_state(variables["params"], tx, use_ema=False)
+    step = make_simclr_train_step(model, tx, TrainingConfig(donate=False),
+                                  0.5)
+    v1 = jax.random.normal(rng, (4, 16, 16, 3)) * 10
+    v2 = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3)) * 10
+    state2, _ = step(state, v1, v2, rng)
+    k0 = state.params["HQAViT_0"]["global_bank"]["global_k"]
+    k1 = state2.params["HQAViT_0"]["global_bank"]["global_k"]
+    assert not np.allclose(np.asarray(k0), np.asarray(k1))
