@@ -30,6 +30,8 @@ import jax.numpy as jnp
 class AugConfig:
     mean: Tuple[float, float, float]
     std: Tuple[float, float, float]
+    # Resize(resize_to) before everything else (QAViT.py:714: Resize 224)
+    resize_to: Optional[int] = None
     crop_pad: int = 4                      # RandomCrop(size, padding)
     hflip: bool = True
     rotation_deg: float = 0.0              # RandomRotation(degrees)
@@ -365,6 +367,9 @@ def normalize(img01, mean, std):
 def augment_image(rng, img_u8, cfg: AugConfig):
     """Augment a single [H, W, 3] uint8 image (jit/vmap/scan-safe)."""
     img = img_u8.astype(jnp.float32)       # [0, 255]
+    if cfg.resize_to is not None:
+        r = cfg.resize_to
+        img = jax.image.resize(img, (r, r, img.shape[-1]), method="bilinear")
     if cfg.rrc_scale is not None:
         rng, r = jax.random.split(rng)
         img = random_resized_crop(r, img, cfg.rrc_scale)
@@ -429,6 +434,11 @@ def augment_batch(rng, images_u8, cfg: AugConfig):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def eval_batch(images_u8, cfg: AugConfig):
-    """Validation path: normalize only (HQAViT_CIFAR100.py:1304-1307)."""
-    return normalize(images_u8.astype(jnp.float32) / 255.0, cfg.mean,
-                     cfg.std)
+    """Validation path: [resize +] normalize
+    (HQAViT_CIFAR100.py:1304-1307; QAViT.py:722-726)."""
+    img = images_u8.astype(jnp.float32)
+    if cfg.resize_to is not None:
+        b, h, w, c = img.shape
+        r = cfg.resize_to
+        img = jax.image.resize(img, (b, r, r, c), method="bilinear")
+    return normalize(img / 255.0, cfg.mean, cfg.std)

@@ -19,9 +19,8 @@ class PipelineSpec:
 
 def _spec(base, mean_std_key, **kw) -> PipelineSpec:
     mean, std = STATS[mean_std_key]
-    resize = kw.pop("resize_to", None)
-    return PipelineSpec(base, AugConfig(mean=mean, std=std, **kw),
-                        resize_to=resize)
+    spec_aug = AugConfig(mean=mean, std=std, **kw)
+    return PipelineSpec(base, spec_aug, resize_to=kw.get("resize_to"))
 
 
 PIPELINES = {

@@ -89,3 +89,14 @@ def test_random_crop_preserves_content_distribution(rng):
     out = np.asarray(random_crop(rng, img, 2))
     assert out.shape == (8, 8, 3)
     assert set(np.unique(out)) <= {0.0, 7.0}
+
+
+def test_resize_pipeline_224(rng):
+    cfg = get_pipeline("cifar100_224").aug
+    assert cfg.resize_to == 224
+    x = jnp.asarray(np.random.RandomState(0).randint(
+        0, 255, (2, 32, 32, 3), np.uint8))
+    out = augment_batch(rng, x, cfg)
+    assert out.shape == (2, 224, 224, 3)
+    out_e = eval_batch(x, cfg)
+    assert out_e.shape == (2, 224, 224, 3)
