@@ -52,16 +52,18 @@ def main() -> None:
     images = jax.random.normal(rng, (k, batch, 32, 32, 3), jnp.float32)
     labels = jax.random.randint(jax.random.PRNGKey(2), (k, batch), 0, 100)
 
-    # warmup / compile
+    # warmup / compile.  NOTE: on the axon remote backend
+    # block_until_ready does not truly block; a scalar fetch from the
+    # final output is the only reliable sync, so timing ends with one.
     for _ in range(2):
         state, metrics = step(state, images, labels, rng)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"][-1])
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, images, labels, rng)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"][-1])
     dt = (time.perf_counter() - t0) / (iters * k)
 
     img_per_sec = batch / dt
