@@ -44,7 +44,8 @@ def grad_cam(model, variables, image, class_idx: Optional[int] = None,
     cfg = model.cfg
     x = image[None]
     n, c = cfg.num_patches, cfg.embed_dim
-    zeros = jnp.zeros((1, n, c), jnp.float32)
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    zeros = jnp.zeros((1, n, c), dtype)
 
     base_vars = {k: v for k, v in variables.items() if k != "perturbations"}
 
@@ -60,6 +61,7 @@ def grad_cam(model, variables, image, class_idx: Optional[int] = None,
               else jnp.argmax(logits_only[0]))
 
     grads, _ = jax.grad(score, has_aux=True)(zeros, cls)
+    grads = grads.astype(jnp.float32)
     acts = _patch_activation(cfg, variables["params"], x)    # [1, N, C]
 
     # weights = mean gradient per channel over the spatial axis

@@ -79,10 +79,12 @@ class QAViT(nn.Module):
         t = PatchEmbed(cfg.patch_size, cfg.embed_dim, dtype=dtype,
                        name="patch_embed")(x.astype(dtype))
         # Grad-CAM hook point: zero perturbation whose gradient is the
-        # d(logit)/d(patch activation) map (test_hqa.py:239-259 analogue);
-        # cast back so an fp32 perturbation can't change the scan carry
-        # dtype under bf16 compute
-        t = self.perturb("patch_tokens", t).astype(dtype)
+        # d(logit)/d(patch activation) map (test_hqa.py:239-259 analogue).
+        # Shaped [1, N, C] (broadcast over batch) so the variable is
+        # batch-size independent; cast keeps the bf16 scan carry dtype.
+        t = (t + self.perturb(
+            "patch_tokens",
+            jnp.zeros((1,) + t.shape[1:], t.dtype))).astype(dtype)
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, cfg.num_patches, cfg.embed_dim))
         t = t + pos.astype(dtype)
@@ -138,7 +140,9 @@ class HQAViT(nn.Module):
         # ViT path
         t = PatchEmbed(cfg.patch_size, cfg.embed_dim, dtype=dtype,
                        name="patch_embed")(x)
-        t = self.perturb("patch_tokens", t).astype(dtype)
+        t = (t + self.perturb(
+            "patch_tokens",
+            jnp.zeros((1,) + t.shape[1:], t.dtype))).astype(dtype)
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, cfg.num_patches, cfg.embed_dim))
         t = t + pos.astype(dtype)
