@@ -110,6 +110,9 @@ class ModelConfig:
     guard_nans: bool = True
     # attention kernel: "auto" (shape-based dispatch) | "xla" | "pallas"
     attn_impl: str = "auto"
+    # rematerialise each block in the backward pass: trades recompute for
+    # HBM activation traffic/memory (jax.checkpoint over the scanned body)
+    remat: bool = False
 
     def __post_init__(self):
         if self.embed_dim % self.num_heads:

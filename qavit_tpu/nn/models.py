@@ -49,9 +49,15 @@ def _drop_path_rates(cfg: ModelConfig) -> np.ndarray:
 
 
 def _scan_stack(block_cls, cfg, pmean_axis, dtype, length: int, name: str):
-    """A depth-``length`` stack of blocks as one nn.scan."""
+    """A depth-``length`` stack of blocks as one nn.scan (optionally
+    rematerialised: recompute activations in the backward instead of
+    storing them — wins when the model is HBM-traffic bound)."""
+    target = block_cls
+    if cfg.remat:
+        # arg 3 (train) is a python bool -> static
+        target = nn.remat(block_cls, static_argnums=(4,))
     scanned = nn.scan(
-        block_cls,
+        target,
         variable_axes={"params": 0, "intermediates": 0},
         split_rngs={"params": True, "dropout": True},
         in_axes=(0, nn.broadcast, nn.broadcast),
