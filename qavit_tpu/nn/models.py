@@ -54,7 +54,7 @@ def _scan_stack(block_cls, cfg, pmean_axis, dtype, length: int, name: str):
     storing them — wins when the model is HBM-traffic bound)."""
     target = block_cls
     if cfg.remat:
-        # arg 3 (train) is a python bool -> static
+        # arg 4 (train; 0 = self) is a python bool -> static
         target = nn.remat(block_cls, static_argnums=(4,))
     scanned = nn.scan(
         target,
