@@ -103,18 +103,25 @@ def print_analysis(cfg: ModelConfig, params) -> None:
             print(f"  {name:<28} {v / 1e6:>10.1f} M")
 
 
+def _force_sync(out) -> None:
+    """Materialise one scalar from the output — remote backends (axon) do
+    not honour block_until_ready, so this is the only reliable sync."""
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.asarray(leaf).reshape(-1)[0])
+
+
 def benchmark_fn(fn: Callable, *args, warmup: int = 3, iters: int = 20,
                  **kw) -> Dict[str, float]:
-    """Latency/throughput micro-bench with block_until_ready timing
+    """Latency/throughput micro-bench with true device-synced timing
     (the torch.cuda.Event analogue, QAViTv2.py:1170-1179)."""
     out = None
     for _ in range(warmup):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _force_sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _force_sync(out)
     dt = (time.perf_counter() - t0) / iters
     return {"latency_ms": dt * 1e3, "iters_per_sec": 1.0 / dt}
 
