@@ -69,6 +69,9 @@ class TrainingConfig:
     layer_lr_decay: float = 0.8
 
     # Monitoring / checkpointing cadence
+    # per-step parameter-norm metric (GradientMonitor parity) costs ~700
+    # extra reductions per step — off by default, enable for debugging
+    log_param_norm: bool = False
     print_freq: int = 50
     eval_freq: int = 1
     save_freq: int = 10

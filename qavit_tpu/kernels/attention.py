@@ -5,6 +5,11 @@ The XLA path is the numerics reference (replacement for the reference's
 degenerate shapes (e.g. the channel-group branch's head_dim=4).  The Pallas
 path (:mod:`qavit_tpu.kernels.flash_attention`) replaces the flash-attn CUDA
 kernels (QAViT.py:26-30) and fuses QK^T + softmax + dropout + PV in VMEM.
+
+Layout: ``[B, N, H, D]`` (head axis AFTER tokens).  Profiling showed the
+classic ``[B, H, N, D]`` layout costs two materialised transposes per
+projection; with BNHD the einsums absorb the layout and the surrounding
+reshape to/from ``[B, N, C]`` is free.
 """
 
 from __future__ import annotations
@@ -23,19 +28,19 @@ def xla_attention(q, k, v, dropout_rate: float = 0.0,
     """Scaled dot-product attention with fp32 softmax.
 
     Args:
-      q: [B, H, Nq, D]; k, v: [B, H, Nkv, D]
+      q: [B, Nq, H, D]; k, v: [B, Nkv, H, D]
     Returns:
-      [B, H, Nq, D] in q.dtype
+      [B, Nq, H, D] in q.dtype
     """
     d = q.shape[-1]
     scale = 1.0 / (d ** 0.5)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     probs = jax.nn.softmax(scores, axis=-1)
     if dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
@@ -51,7 +56,7 @@ def use_pallas(q_shape, backend: Optional[str] = None) -> bool:
         backend = jax.default_backend()
     if backend != "tpu":
         return False
-    _, _, n_q, d = q_shape
+    _, n_q, _, d = q_shape
     return d >= _PALLAS_MIN_HEAD_DIM and n_q >= _PALLAS_MIN_NQ
 
 
@@ -61,7 +66,7 @@ def attention(q, k, v, dropout_rate: float = 0.0, deterministic: bool = True,
     QAViT.py:259; the NaN guard lives in the caller, nn/branches.py).
 
     Args:
-      q: [B, H, Nq, D]; k, v: [B, H, Nkv, D]
+      q: [B, Nq, H, D]; k, v: [B, Nkv, H, D]
       impl: "auto" | "xla" | "pallas"
     """
     if impl == "auto":
@@ -69,15 +74,15 @@ def attention(q, k, v, dropout_rate: float = 0.0, deterministic: bool = True,
     if impl == "xla":
         return xla_attention(q, k, v, dropout_rate, deterministic, rng)
 
-    b, h, n_q, d = q.shape
-    n_kv = k.shape[2]
-    qf = q.reshape(b * h, n_q, d)
-    kf = k.reshape(b * h, n_kv, d)
-    vf = v.reshape(b * h, n_kv, d)
+    b, n_q, h, d = q.shape
+    n_kv = k.shape[1]
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, n_q, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, n_kv, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, n_kv, d)
     if dropout_rate > 0.0 and not deterministic:
         seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1, jnp.int32)
         out = flash_attention(qf, kf, vf, seed=seed,
                               dropout_rate=dropout_rate)
     else:
         out = flash_attention(qf, kf, vf)
-    return out.reshape(b, h, n_q, d)
+    return out.reshape(b, h, n_q, d).transpose(0, 2, 1, 3)

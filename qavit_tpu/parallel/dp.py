@@ -113,7 +113,9 @@ def make_shardmap_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
 
         metrics = {"loss": loss, "correct": correct, "count": count,
                    "grad_norm": grad_norm,
-                   "param_norm": optax.global_norm(new_params)}
+                   "param_norm": (optax.global_norm(new_params)
+                                  if tc.log_param_norm
+                                  else jnp.zeros((), jnp.float32))}
         if schedule is not None:
             metrics["lr"] = schedule(state.step)
 

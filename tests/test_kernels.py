@@ -22,8 +22,8 @@ def test_xla_attention_matches_numpy(rng, shape):
     q = np.random.RandomState(0).randn(bh, nq, d).astype(np.float32)
     k = np.random.RandomState(1).randn(bh, nkv, d).astype(np.float32)
     v = np.random.RandomState(2).randn(bh, nkv, d).astype(np.float32)
-    out = xla_attention(jnp.asarray(q)[:, None], jnp.asarray(k)[:, None],
-                        jnp.asarray(v)[:, None])[:, 0]
+    out = xla_attention(jnp.asarray(q)[:, :, None], jnp.asarray(k)[:, :, None],
+                        jnp.asarray(v)[:, :, None])[:, :, 0]
     np.testing.assert_allclose(np.asarray(out), _ref_attention(q, k, v),
                                atol=1e-4)
 
@@ -35,24 +35,24 @@ def test_pallas_interpret_matches_xla(rng, shape):
     k = jax.random.normal(jax.random.PRNGKey(1), (bh, nkv, d))
     v = jax.random.normal(jax.random.PRNGKey(2), (bh, nkv, d))
     out_p = flash_attention(q, k, v, interpret=True)
-    out_x = xla_attention(q[:, None], k[:, None], v[:, None])[:, 0]
+    out_x = xla_attention(q[:, :, None], k[:, :, None], v[:, :, None])[:, :, 0]
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                atol=1e-4)
 
 
 def test_attention_dispatch_cpu_uses_xla(rng):
     # on CPU backend the dispatcher must pick XLA regardless of shape
-    q = jax.random.normal(rng, (1, 2, 256, 64))
-    k = jax.random.normal(rng, (1, 2, 64, 64))
-    v = jax.random.normal(rng, (1, 2, 64, 64))
+    q = jax.random.normal(rng, (1, 256, 2, 64))
+    k = jax.random.normal(rng, (1, 64, 2, 64))
+    v = jax.random.normal(rng, (1, 64, 2, 64))
     out = attention(q, k, v, impl="auto")
     assert out.shape == q.shape
 
 
 def test_attention_dropout_scales(rng):
-    q = jax.random.normal(rng, (1, 1, 32, 16))
-    k = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 16, 16))
-    v = jnp.ones((1, 1, 16, 16))
+    q = jax.random.normal(rng, (1, 32, 1, 16))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 1, 16))
+    v = jnp.ones((1, 16, 1, 16))
     out = attention(q, k, v, dropout_rate=0.5, deterministic=False,
                     rng=jax.random.PRNGKey(2), impl="xla")
     # with v == 1, output rows are sums of kept, rescaled probs; the mean
