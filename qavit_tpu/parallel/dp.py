@@ -28,6 +28,7 @@ from qavit_tpu.configs.model import ModelConfig
 from qavit_tpu.configs.training import TrainingConfig
 from qavit_tpu.parallel.mesh import DATA_AXIS
 from qavit_tpu.train.mix import apply_mix, mixed_loss
+from qavit_tpu.train.optim import apply_clipping
 from qavit_tpu.train.state import TrainState, ema_update, swap_bank
 
 
@@ -94,7 +95,7 @@ def make_shardmap_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
         if has_bn:
             new_bs = jax.lax.pmean(new_bs, DATA_AXIS)
 
-        grad_norm = optax.global_norm(grads)
+        grads, grad_norm = apply_clipping(grads, tc)
         params = swap_bank(state.params, bank)
         updates, opt_state = tx.update(grads, state.opt_state, params)
         new_params = optax.apply_updates(params, updates)

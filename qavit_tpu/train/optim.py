@@ -142,24 +142,40 @@ def scale_by_lr_groups(mult_fn) -> optax.GradientTransformation:
                                         update_fn)
 
 
+def apply_clipping(grads, tc: TrainingConfig):
+    """The reference's two-level clipping, applied in the train step:
+    per-tensor pre-clip of cnn_stem/dwconv -> monitor norm -> global clip
+    (HQAViT_CIFAR100.py:1415-1434).  Computing the global norm ONCE here
+    and sharing it between the metric and the clip saves ~600 per-leaf
+    reductions per step vs a chained optax.clip_by_global_norm.
+
+    Returns (clipped_grads, pre-global-clip grad norm).
+    """
+    if tc.subtree_clip_norm is not None:
+        clip = per_tensor_clip(tc.subtree_clip_norm, tc.subtree_clip_keys)
+        grads, _ = clip.update(grads, optax.EmptyState())
+    grad_norm = optax.global_norm(grads)
+    if tc.grad_clip_mode == "norm":
+        scale = jnp.minimum(1.0, tc.max_grad_norm / (grad_norm + 1e-6))
+        grads = jax.tree.map(lambda g: (g * scale).astype(g.dtype), grads)
+    elif tc.grad_clip_mode == "value":
+        grads = jax.tree.map(
+            lambda g: jnp.clip(g, -tc.max_grad_norm, tc.max_grad_norm),
+            grads)
+    return grads, grad_norm
+
+
 def make_optimizer(tc: TrainingConfig, steps_per_epoch: int,
                    schedule: Optional[Callable] = None
                    ) -> optax.GradientTransformation:
-    """The full update chain, ordered to match the reference step:
-    per-tensor pre-clip -> global clip -> Adam -> decoupled weight decay
-    -> LR-group scaling -> learning rate."""
+    """The post-clipping update chain: Adam -> decoupled weight decay ->
+    LR-group scaling -> learning rate.  Clipping happens in the train
+    step via :func:`apply_clipping` (matching the reference's ordering:
+    per-tensor clip -> monitored norm -> global clip -> step)."""
     if schedule is None:
         schedule = make_schedule(tc, steps_per_epoch)
 
     chain = []
-    if tc.subtree_clip_norm is not None:
-        chain.append(per_tensor_clip(tc.subtree_clip_norm,
-                                     tc.subtree_clip_keys))
-    if tc.grad_clip_mode == "norm":
-        chain.append(optax.clip_by_global_norm(tc.max_grad_norm))
-    elif tc.grad_clip_mode == "value":
-        chain.append(optax.clip(tc.max_grad_norm))
-
     chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
 
     def wd_mask(params):

@@ -18,6 +18,7 @@ import optax
 from qavit_tpu.configs.model import ModelConfig
 from qavit_tpu.configs.training import TrainingConfig
 from qavit_tpu.train.mix import apply_mix, mixed_loss, smoothed_cross_entropy
+from qavit_tpu.train.optim import apply_clipping
 from qavit_tpu.train.state import TrainState, ema_update, swap_bank
 
 
@@ -57,7 +58,7 @@ def make_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
         (loss, (logits, bank, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
 
-        grad_norm = optax.global_norm(grads)
+        grads, grad_norm = apply_clipping(grads, tc)
 
         # torch order: the bank's forward-time update is already in the
         # params when optimizer.step() runs (HQAViT_CIFAR100.py:315-321 vs
