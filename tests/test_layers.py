@@ -51,13 +51,14 @@ def test_patch_embed_matches_conv_math(rng):
 
 @pytest.mark.parametrize("n,seq_len", [(16, 16), (8, 16), (40, 16)])
 def test_linformer_pad_truncate(rng, n, seq_len):
-    k = jax.random.normal(rng, (2, 4, n, 8))
-    v = jax.random.normal(rng, (2, 4, n, 8))
+    # BNHD layout: [B, N, H, D]
+    k = jax.random.normal(rng, (2, n, 4, 8))
+    v = jax.random.normal(rng, (2, n, 4, 8))
     m = LinformerCompression(seq_len, 6, dtype=jnp.float32)
     variables = m.init(rng, k, v)
     k_c, v_c = m.apply(variables, k, v)
-    assert k_c.shape == (2, 4, 6, 8)
-    assert v_c.shape == (2, 4, 6, 8)
+    assert k_c.shape == (2, 6, 4, 8)
+    assert v_c.shape == (2, 6, 4, 8)
 
 
 def test_hybrid_fusion_softmax_weights(rng):
