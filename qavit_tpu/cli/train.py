@@ -132,7 +132,7 @@ def main(argv=None):
         print(f"resumed from {args.resume} at step {int(state.step)} "
               f"(epoch {start_epoch})")
 
-    pipe_aug = get_pipeline(preset.dataset).aug
+    aug_cfg = pipe.aug
     if mesh is not None:
         train_step = make_gspmd_train_step(model, tx, mc, tc, mesh, sched)
         eval_step = make_dp_eval_step(model, mc, mesh)
@@ -140,7 +140,7 @@ def main(argv=None):
     else:
         if spc > 1:
             from qavit_tpu.train.steps import make_fused_train_chunk
-            train_step = make_fused_train_chunk(model, tx, mc, tc, pipe_aug,
+            train_step = make_fused_train_chunk(model, tx, mc, tc, aug_cfg,
                                                 num_steps=spc,
                                                 schedule=sched)
         else:
@@ -151,7 +151,6 @@ def main(argv=None):
     logger = TrainingLogger(tc.log_dir, track_ema=tc.use_ema)
     monitor = GradientMonitor()
     ckpts = CheckpointManager(tc.checkpoint_dir, mc, tc, tc.save_freq)
-    aug_cfg = pipe.aug
     step_rng = jax.random.PRNGKey(tc.seed + 1)
     host_step = int(state.step)  # host-side mirror: avoids a device sync
                                  # (and dispatch stall) every step
