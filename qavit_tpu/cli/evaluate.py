@@ -112,8 +112,8 @@ def main(argv=None):
         print(f"wrote {len(written)} grad-cam pairs")
 
     if args.tta:
-        from qavit_tpu.data.augment import (adjust_brightness, hflip,
-                                            normalize, random_crop)
+        from qavit_tpu.data.augment import (adjust_brightness, normalize,
+                                            random_crop)
 
         def make_prep(kind):
             def prep_t(images_u8):

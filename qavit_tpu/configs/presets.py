@@ -7,8 +7,6 @@ Each preset maps to one reference trainer script and bundles
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict
-
 from qavit_tpu.configs.model import BANK_V1, BankConfig, ModelConfig
 from qavit_tpu.configs.training import TrainingConfig
 

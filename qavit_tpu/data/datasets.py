@@ -20,11 +20,10 @@ from __future__ import annotations
 
 import os
 import pickle
-import tarfile
 import zipfile
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

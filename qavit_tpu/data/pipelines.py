@@ -4,7 +4,7 @@ trainer (SURVEY.md §2.6 transform table)."""
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 from qavit_tpu.data.augment import AugConfig
 from qavit_tpu.data.datasets import STATS

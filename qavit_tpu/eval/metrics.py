@@ -9,11 +9,9 @@ numpy/matplotlib on host over jit'd model outputs.
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Callable, Dict, Iterable, List, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

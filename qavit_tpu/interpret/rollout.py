@@ -19,8 +19,6 @@ an NxN positional map.  Rollout composes 0.5*T + 0.5*I across blocks
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

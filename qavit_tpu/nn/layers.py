@@ -13,7 +13,7 @@ TPU replacement for CUDA AMP autocast.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ Two equivalent paths are provided (SURVEY.md §2.10, §5.8):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

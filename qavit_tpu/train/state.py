@@ -8,7 +8,7 @@ TrainState that orbax can checkpoint/restore at step granularity.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

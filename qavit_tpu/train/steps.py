@@ -8,8 +8,7 @@ replacement for autocast + GradScaler + torch.compile.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
