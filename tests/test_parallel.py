@@ -76,3 +76,23 @@ def test_shardmap_dp_step_matches_semantics(dp_setup, rng):
     # replicated params remain identical across devices
     k = state2.params["global_bank"]["global_k"]
     assert len(k.devices()) == 8
+
+
+def test_dp_eval_step(dp_setup, rng):
+    from qavit_tpu.parallel import make_dp_eval_step
+    from qavit_tpu.nn import init_model
+    from qavit_tpu.train import create_train_state, make_optimizer
+
+    cfg, tc = dp_setup
+    mesh = make_mesh()
+    model, variables = init_model(cfg, rng)
+    tx = make_optimizer(tc, 4)
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"), use_ema=True)
+    step = make_dp_eval_step(model, cfg, mesh)
+    x = jax.random.normal(rng, (16, 16, 16, 3))
+    y = jnp.tile(jnp.arange(8), 2).astype(jnp.int32)
+    x, y = shard_batch(mesh, x, y)
+    m = step(state, x, y)
+    assert int(m["count"]) == 16
+    assert 0 <= int(m["top1"]) <= int(m["top5"]) <= 16

@@ -192,3 +192,22 @@ def test_fused_train_chunk(tiny_cfg, tiny_bundle, tiny_train_cfg, rng):
     state2, metrics = chunk(state, imgs, tgts, rng)
     assert int(state2.step) == k
     assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+
+def test_mix_extreme_single_draw(rng):
+    """EXTREME style: one uniform draw routed by probability bands
+    (QAViTV2_EXTREME.py:1279-1321)."""
+    tc = TrainingConfig(use_mixup=True, use_cutmix=True, mix_style="extreme",
+                        mixup_alpha=0.2, cutmix_alpha=1.0,
+                        mixup_prob=0.8, cutmix_prob=0.2)
+    x = jnp.stack([jnp.zeros((8, 8, 3)), jnp.ones((8, 8, 3))])
+    y = jnp.array([0, 1])
+    mixed = 0
+    for i in range(20):
+        b = apply_mix(jax.random.PRNGKey(i), x, y, tc)
+        assert 0.0 <= float(b.lam) <= 1.0
+        if float(b.lam) < 1.0 or not np.allclose(np.asarray(b.images),
+                                                 np.asarray(x)):
+            mixed += 1
+    # mixup_prob + cutmix_prob = 1.0 -> virtually every draw mixes
+    assert mixed >= 15
