@@ -48,7 +48,10 @@ def save_train_state(path: str, state: TrainState,
         # force=True: best/best_ema checkpoints are overwritten every time
         # the metric improves (HQAViT_CIFAR100.py:1687-1721 semantics)
         ckptr.save(path / "state", _to_pytree(state), force=True)
-    meta = {"metrics": metrics or {}}
+    meta = {"metrics": metrics or {},
+            # structure manifest: lets restore build a full typed template
+            # in ONE data restore (see restore_train_state)
+            "state_keys": sorted(_to_pytree(state).keys())}
     if model_config is not None:
         meta["model_config"] = model_config.to_dict()
     if train_config is not None:
@@ -66,17 +69,31 @@ def restore_train_state(path: str, template: TrainState
     """
     path = Path(path).resolve()
     tpl = _to_pytree(template)
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path / "state")
-        # opt_state (and EMA trees when both sides have them) need the
-        # template's pytree structure; re-restore those subtrees typed
-        sub_tpl = {"opt_state": tpl["opt_state"]}
-        restored_typed = ckptr.restore(path / "state",
-                                       {**restored, **sub_tpl})
     meta_file = path / "meta.json"
     meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
 
-    restored = restored_typed
+    with ocp.StandardCheckpointer() as ckptr:
+        saved_keys = meta.get("state_keys")
+        if saved_keys is None:
+            # legacy checkpoint without a manifest: learn the structure
+            # with an extra as-saved restore
+            restored = ckptr.restore(path / "state")
+            saved_keys = sorted(restored.keys())
+        # ONE typed data restore: template subtrees are used where the
+        # state shares them (opt_state is a custom optax pytree and NEEDS
+        # its typed structure); a checkpoint-side EMA loading into a
+        # no-EMA template borrows the params/batch_stats structure
+        restore_tpl = {}
+        for k in saved_keys:
+            if k in tpl:
+                restore_tpl[k] = tpl[k]
+            elif k == "ema_params":
+                restore_tpl[k] = tpl["params"]
+            elif k == "ema_batch_stats":
+                restore_tpl[k] = tpl["batch_stats"]
+            else:
+                raise KeyError(f"unknown checkpoint subtree {k!r}")
+        restored = ckptr.restore(path / "state", restore_tpl)
     has_ema = template.ema_params is not None
 
     def as_tree(x):

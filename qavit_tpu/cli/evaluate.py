@@ -112,28 +112,12 @@ def main(argv=None):
         print(f"wrote {len(written)} grad-cam pairs")
 
     if args.tta:
-        from qavit_tpu.data.augment import (adjust_brightness, normalize,
-                                            random_crop)
+        from qavit_tpu.eval import make_tta_preprocessors
 
-        def make_prep(kind):
-            def prep_t(images_u8):
-                img = images_u8.astype(jnp.float32)
-                if "flip" in kind:
-                    img = img[:, :, ::-1]
-                if "crop" in kind:
-                    rngs = jax.random.split(jax.random.PRNGKey(0),
-                                            img.shape[0])
-                    img = jax.vmap(lambda r, im: random_crop(r, im, 2))(
-                        rngs, img)
-                if "bright" in kind:
-                    img = jax.vmap(lambda im: adjust_brightness(im, 1.1))(img)
-                return normalize(img / 255.0, pipe.aug.mean, pipe.aug.std)
-            return jax.jit(prep_t)
-
-        kinds = ["identity", "flip", "crop", "flip_crop", "bright"]
+        preps = make_tta_preprocessors(pipe.aug)
         loaders = [BatchLoader(ds.test_images, ds.test_labels, 512,
                                shuffle=False, drop_last=False)
-                   for _ in kinds]
+                   for _ in preps]
 
         def forward(state, images):
             variables = {"params": state.params}
@@ -142,8 +126,7 @@ def main(argv=None):
             return model.apply(variables, images, train=False,
                                bank_count=0)[0]
 
-        tta = validate_tta(jax.jit(forward), state, loaders,
-                           [make_prep(k) for k in kinds])
+        tta = validate_tta(jax.jit(forward), state, loaders, preps)
         print(f"TTA top-1: {tta['tta_top1']:.2f}%")
 
     return r

@@ -44,6 +44,11 @@ def parse_args(argv=None):
                    help="fuse K steps (+ their augmentation) into one "
                         "device dispatch (single-chip fast path)")
     p.add_argument("--no-cache", action="store_true")
+    p.add_argument("--debug-grads", action="store_true",
+                   help="track per-layer gradient norms in-step and print "
+                        "the top-10 layers on explosions / at print_freq")
+    p.add_argument("--grad-accum", type=int, default=None,
+                   help="gradient accumulation micro-steps per update")
     return p.parse_args(argv)
 
 
@@ -77,6 +82,8 @@ def main(argv=None):
         v = getattr(args, field if field != "batch_size" else "batch_size")
         if v is not None:
             overrides[key] = v
+    if args.grad_accum is not None:
+        overrides["gradient_accumulation_steps"] = args.grad_accum
     tc = tc.replace(**overrides)
 
     print(f"preset={args.preset} model={mc.name} dataset={preset.dataset}")
@@ -143,7 +150,8 @@ def main(argv=None):
                                                 num_steps=spc,
                                                 schedule=sched)
         else:
-            train_step = make_train_step(model, tx, mc, tc, sched)
+            train_step = make_train_step(model, tx, mc, tc, sched,
+                                         debug_grads=args.debug_grads)
         eval_step = make_eval_step(model, mc)
         eval_step_ema = make_eval_step(model, mc, use_ema=True)
 
@@ -185,10 +193,17 @@ def main(argv=None):
                 last_grad_norm = float(gn[-1])
                 steps_done += gn.size
                 pn = np.asarray(m["param_norm"]).reshape(-1)
+                per_leaf = None
+                if "per_leaf" in m:
+                    per_leaf = {k: float(np.asarray(v).reshape(-1)[-1])
+                                for k, v in m["per_leaf"].items()}
                 for g, pnorm in zip(gn, pn):
-                    if monitor.log(float(g), float(pnorm)):
+                    if monitor.log(float(g), float(pnorm),
+                                   per_leaf=per_leaf):
                         print(f"!! GRADIENT EXPLOSION at epoch {epoch} "
                               f"(norm {float(g):.1f})")
+                        for name, norm in monitor.top_layers(10):
+                            print(f"     {name}: {norm:.4f}")
             pending.clear()
 
         for i, (images_u8, labels) in enumerate(train_loader):
@@ -218,6 +233,10 @@ def main(argv=None):
                       f"Loss: {loss_sum / max(steps_done, 1):.4f} | "
                       f"Acc: {100.0 * correct / max(seen, 1):6.2f}% | "
                       f"Grad: {last_grad_norm:.4f}")
+                if args.debug_grads and monitor.layer_grad_history:
+                    tops = ", ".join(f"{n}={v:.3f}"
+                                     for n, v in monitor.top_layers(5))
+                    print(f"          top grad layers: {tops}")
         drain()
 
         train_loss = loss_sum / max(steps_done, 1)
@@ -253,6 +272,20 @@ def main(argv=None):
 
     logger.save()
     logger.plot()
+    logger.plot_dashboard()
+    logger.plot_ema_distance()
+    if args.init_from:
+        # transfer-summary figure vs the pretrained checkpoint's accuracy
+        # (HQAViT_Tiny_Cifar10.py:196-258)
+        import json as _json
+        from pathlib import Path as _Path
+        meta_f = _Path(args.init_from) / "meta.json"
+        src_metrics = (_json.loads(meta_f.read_text()).get("metrics", {})
+                       if meta_f.exists() else {})
+        src_acc = float(src_metrics.get("val_acc",
+                                        src_metrics.get("ema_val_acc", 0.0)))
+        logger.plot_transfer_summary(src_acc, source="pretrain",
+                                     target=preset.dataset)
     print(f"Training complete! Best Val Acc: {ckpts.best_acc:.2f}%")
     return ckpts.best_acc
 

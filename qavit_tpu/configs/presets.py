@@ -160,12 +160,22 @@ def _simclr_stl10() -> Preset:
     return Preset(p.model.replace(name="simclr_stl10"), train, "stl10_unlabeled")
 
 
+def _hqavit_proc100() -> Preset:
+    """Flagship HQA-ViT model/training recipe on the proc100 procedural
+    dataset — the no-egress convergence-validation run (VERDICT r1 #1;
+    real CIFAR-100 bytes are unobtainable on this host)."""
+    p = _hqavit_c100()
+    return Preset(p.model.replace(name="hqavit_proc100"), p.train,
+                  "proc100_hqa")
+
+
 PRESETS = {
     "qavit_224_v1": _qavit_224_v1,
     "qavit_v2": _qavit_v2,
     "qavit_v2_c100": _qavit_v2_c100,
     "qavit_v2_extreme": _qavit_v2_extreme,
     "hqavit_c100": _hqavit_c100,
+    "hqavit_proc100": _hqavit_proc100,
     "hqavit_v2_c100": _hqavit_v2_c100,
     "hqavit_tiny_in": _hqavit_tiny_in,
     "hqavit_c100_finetune": _hqavit_c100_finetune,

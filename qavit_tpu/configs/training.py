@@ -47,6 +47,11 @@ class TrainingConfig:
     mixup_prob: float = 0.8          # only for mix_style == "extreme"
     cutmix_prob: float = 0.2
 
+    # Gradient accumulation (HQAViT_CIFAR100.py:85, :1405-1412; reference
+    # default 1).  k>1 splits each batch into k scanned micro-batches with
+    # one clipped optimizer/EMA update on the averaged gradients.
+    gradient_accumulation_steps: int = 1
+
     # Gradient control (HQAViT_CIFAR100.py:97, :1415-1434)
     max_grad_norm: float = 0.5
     grad_clip_mode: str = "norm"     # "norm" | "value"

@@ -33,6 +33,8 @@ STATS = {
     "cifar100": ((0.5071, 0.4867, 0.4408), (0.2675, 0.2565, 0.2761)),
     "stl10": ((0.4467, 0.4398, 0.4066), (0.2603, 0.2566, 0.2713)),
     "tiny_imagenet": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+    # procedurally generated fallback dataset (see qavit_tpu/data/procgen.py)
+    "proc100": ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25)),
 }
 
 
@@ -163,20 +165,30 @@ def _load_tiny_imagenet(root: str) -> Optional[Dataset]:
                    np.asarray(te_y, np.int32), 200)
 
 
+def _load_proc100(root: str) -> Dataset:
+    from qavit_tpu.data.procgen import load_or_generate_proc100
+
+    tr_x, tr_y, te_x, te_y = load_or_generate_proc100(root)
+    # generated, but a real learning task (not the `synthetic` fallback):
+    # train/test are disjoint draws from one class-conditional process
+    return Dataset("proc100", tr_x, tr_y, te_x, te_y, 100)
+
+
 def load_dataset(name: str, data_root: str = "./data",
                  allow_synthetic: bool = True) -> Dataset:
     """Load a dataset by base name ('cifar10', 'cifar100', 'stl10',
-    'stl10_unlabeled', 'tiny_imagenet')."""
+    'stl10_unlabeled', 'tiny_imagenet', 'proc100')."""
     loaders = {
         "cifar10": lambda: _load_cifar(data_root, 10),
         "cifar100": lambda: _load_cifar(data_root, 100),
         "stl10": lambda: _load_stl10(data_root, "train"),
         "stl10_unlabeled": lambda: _load_stl10(data_root, "unlabeled"),
         "tiny_imagenet": lambda: _load_tiny_imagenet(data_root),
+        "proc100": lambda: _load_proc100(data_root),
     }
     sizes = {"cifar10": (32, 10), "cifar100": (32, 100),
              "stl10": (96, 10), "stl10_unlabeled": (96, 10),
-             "tiny_imagenet": (64, 200)}
+             "tiny_imagenet": (64, 200), "proc100": (32, 100)}
     if name not in loaders:
         raise KeyError(f"unknown dataset {name!r}")
     ds = loaders[name]()

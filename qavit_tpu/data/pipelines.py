@@ -59,6 +59,13 @@ PIPELINES = {
                            rotation_deg=15.0,
                            jitter=(0.4, 0.4, 0.4, 0.1), jitter_prob=1.0,
                            randaug_ops=2, randaug_magnitude=6),
+    # procedural fallback dataset under the flagship HQA aug pipeline
+    # (same knobs as cifar100_hqa; see qavit_tpu/data/procgen.py)
+    "proc100_hqa": _spec("proc100", "proc100", crop_pad=4,
+                         rotation_deg=15.0,
+                         jitter=(0.5, 0.5, 0.5, 0.15), jitter_prob=0.9,
+                         randaug_ops=3, randaug_magnitude=10,
+                         erasing_prob=0.3, erasing_scale=(0.02, 0.4)),
 }
 
 

@@ -1,0 +1,100 @@
+"""Procedurally generated 100-class image dataset ("proc100").
+
+This host has no network egress (DNS resolution fails), so the reference's
+real datasets (CIFAR-100 via torchvision download, QAViT.py:728) cannot be
+fetched.  VERDICT round-1 item #1 prescribes the fallback: a synthetic
+convergence run whose dataset requires *generalization*, not memorization.
+
+proc100 is CIFAR-100-shaped (50k train / 10k test, 32x32x3 uint8, 100
+classes) with a genuine class-conditional generative process:
+
+* class identity = a 2-D spatial frequency pair ``(f_x, f_y)`` in
+  ``{1..10} x {1..10}`` rendered as a separable cosine grating, plus a
+  class-keyed color palette as a secondary cue;
+* nuisance factors drawn per sample: random phases (so absolute pixel
+  values never identify the class), amplitude/brightness/contrast jitter,
+  a random diagonal harmonic, and pixel noise.
+
+A model must learn translation-tolerant frequency discrimination to score
+on the held-out test split — val accuracy here measures learning, not
+lookup.  Train/test are disjoint draws from the same process.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+# proc100 renders around mid-gray by construction; nominal stats used by
+# the normalization pipeline (analogous to the hard-coded CIFAR stats).
+PROC100_STATS = ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25))
+
+
+def _class_palette(num_classes: int, rng: np.random.RandomState):
+    """Two colors per class, keyed on the class index (secondary cue)."""
+    a = rng.uniform(0.35, 1.0, (num_classes, 3)).astype(np.float32)
+    b = rng.uniform(0.0, 0.65, (num_classes, 3)).astype(np.float32)
+    return a, b
+
+
+def generate_proc100(n: int, seed: int, img_size: int = 32,
+                     num_classes: int = 100, batch: int = 4096):
+    """Generate ``n`` (image, label) pairs. Returns (uint8 NHWC, int32)."""
+    rng = np.random.RandomState(seed)
+    pal_a, pal_b = _class_palette(num_classes, np.random.RandomState(1234))
+
+    side = np.arange(img_size, dtype=np.float32) / img_size
+    yy = side[:, None]          # [H, 1]
+    xx = side[None, :]          # [1, W]
+
+    images = np.empty((n, img_size, img_size, 3), np.uint8)
+    labels = rng.randint(0, num_classes, n).astype(np.int32)
+
+    for lo in range(0, n, batch):
+        hi = min(lo + batch, n)
+        m = hi - lo
+        y = labels[lo:hi]
+        f_x = (1 + y % 10).astype(np.float32)[:, None, None]
+        f_y = (1 + y // 10).astype(np.float32)[:, None, None]
+
+        ph_x = rng.uniform(0, 2 * np.pi, (m, 1, 1)).astype(np.float32)
+        ph_y = rng.uniform(0, 2 * np.pi, (m, 1, 1)).astype(np.float32)
+        ph_d = rng.uniform(0, 2 * np.pi, (m, 1, 1)).astype(np.float32)
+        amp = rng.uniform(0.7, 1.0, (m, 1, 1)).astype(np.float32)
+        harm = rng.uniform(0.0, 0.3, (m, 1, 1)).astype(np.float32)
+
+        two_pi = np.float32(2 * np.pi)
+        g = (np.cos(two_pi * f_x * xx + ph_x)
+             * np.cos(two_pi * f_y * yy + ph_y))
+        # nuisance diagonal harmonic at a class-independent frequency
+        g = amp * g + harm * np.cos(two_pi * 3.0 * (xx + yy) + ph_d)
+        g = (g + 1.3) / 2.6                                   # -> ~[0, 1]
+
+        img = (g[..., None] * pal_a[y][:, None, None, :]
+               + (1.0 - g[..., None]) * pal_b[y][:, None, None, :])
+
+        contrast = rng.uniform(0.8, 1.2, (m, 1, 1, 1)).astype(np.float32)
+        bright = rng.uniform(-0.08, 0.08, (m, 1, 1, 1)).astype(np.float32)
+        img = (img - 0.5) * contrast + 0.5 + bright
+        img = img + rng.normal(0, 0.04, img.shape).astype(np.float32)
+
+        images[lo:hi] = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+    return images, labels
+
+
+def load_or_generate_proc100(data_root: str, n_train: int = 50000,
+                             n_test: int = 10000):
+    """Generate proc100 once and cache it under ``data_root``."""
+    cache = Path(data_root) / "proc100.npz"
+    if cache.exists():
+        z = np.load(cache)
+        return (z["train_images"], z["train_labels"],
+                z["test_images"], z["test_labels"])
+    tr_x, tr_y = generate_proc100(n_train, seed=0)
+    te_x, te_y = generate_proc100(n_test, seed=1)
+    os.makedirs(data_root, exist_ok=True)
+    np.savez_compressed(cache, train_images=tr_x, train_labels=tr_y,
+                        test_images=te_x, test_labels=te_y)
+    return tr_x, tr_y, te_x, te_y

@@ -1,10 +1,11 @@
 """Grad-CAM on the patch-embedding activations.
 
 Rebuilds test_hqa.py:229-354: the reference forward-hooks
-``model.patch_embed.proj`` and backprops the class score; here the model
-exposes a zero *perturbation* at the patch-token hook point
-(nn/models.py), so ``jax.grad`` w.r.t. the perturbation IS the hook
-gradient — no mutation, fully jittable.
+``model.patch_embed.proj`` — the conv projection output BEFORE the
+embedding LayerNorm.  PatchEmbed exposes a zero *perturbation* at exactly
+that point (nn/layers.py), so ``jax.grad`` w.r.t. the perturbation IS the
+hook gradient and the hooked activation is the pre-norm projection — no
+mutation, fully jittable, same hook point as the reference.
 
 cam = ReLU(sum_c mean_grad_c * act_c), min-max normalised, bilinearly
 upsampled, jet colormap + 0.5-alpha overlay; batch driver writes
@@ -26,10 +27,12 @@ from qavit_tpu.nn.layers import PatchEmbed
 
 
 def _patch_activation(model_cfg, params, image):
-    """Recompute the patch-embed activation (the hooked tensor)."""
+    """Recompute the hooked tensor: the patch projection PRE-norm
+    (= model.patch_embed.proj output, test_hqa.py:243)."""
     pe = PatchEmbed(model_cfg.patch_size, model_cfg.embed_dim,
                     dtype=jnp.float32)
-    return pe.apply({"params": params["patch_embed"]}, image)
+    return pe.apply({"params": params["patch_embed"]}, image,
+                    pre_norm=True)
 
 
 def grad_cam(model, variables, image, class_idx: Optional[int] = None,
@@ -51,7 +54,7 @@ def grad_cam(model, variables, image, class_idx: Optional[int] = None,
 
     def score(pert, cls):
         v = dict(base_vars)
-        v["perturbations"] = {"patch_tokens": pert}
+        v["perturbations"] = {"patch_embed": {"patch_tokens": pert}}
         logits, _ = model.apply(v, x, train=False, bank_count=bank_count)
         return logits[0, cls], logits
 

@@ -55,6 +55,11 @@ class PatchEmbed(nn.Module):
 
     Implemented as reshape + Dense: a stride=patch conv is exactly a matmul
     on TPU, and expressing it as one guarantees MXU mapping.
+
+    The Grad-CAM hook sits on the *pre-norm* projection output — exactly
+    where the reference forward-hooks ``model.patch_embed.proj``
+    (test_hqa.py:243-257): a zero perturbation (shape [1, N, C], broadcast
+    over batch) whose gradient is d(score)/d(activation).
     """
 
     patch_size: int
@@ -62,7 +67,7 @@ class PatchEmbed(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pre_norm: bool = False):
         # x: [B, H, W, Cin]
         b, h, w, cin = x.shape
         p = self.patch_size
@@ -71,6 +76,11 @@ class PatchEmbed(nn.Module):
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * cin)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, kernel_init=conv_init,
                      name="proj")(x)
+        x = (x + self.perturb(
+            "patch_tokens",
+            jnp.zeros((1,) + x.shape[1:], x.dtype))).astype(self.dtype)
+        if pre_norm:
+            return x  # the hooked activation (conv output before LN)
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
         return x  # [B, N, C]
 

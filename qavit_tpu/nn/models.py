@@ -82,15 +82,10 @@ class QAViT(nn.Module):
         bank_params = GlobalBankParams(cfg.bank, cfg.embed_dim,
                                        name="global_bank")()
 
+        # Grad-CAM hook lives INSIDE PatchEmbed on the pre-LN projection
+        # (test_hqa.py:243-257 hooks model.patch_embed.proj)
         t = PatchEmbed(cfg.patch_size, cfg.embed_dim, dtype=dtype,
                        name="patch_embed")(x.astype(dtype))
-        # Grad-CAM hook point: zero perturbation whose gradient is the
-        # d(logit)/d(patch activation) map (test_hqa.py:239-259 analogue).
-        # Shaped [1, N, C] (broadcast over batch) so the variable is
-        # batch-size independent; cast keeps the bf16 scan carry dtype.
-        t = (t + self.perturb(
-            "patch_tokens",
-            jnp.zeros((1,) + t.shape[1:], t.dtype))).astype(dtype)
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, cfg.num_patches, cfg.embed_dim))
         t = t + pos.astype(dtype)
@@ -146,9 +141,6 @@ class HQAViT(nn.Module):
         # ViT path
         t = PatchEmbed(cfg.patch_size, cfg.embed_dim, dtype=dtype,
                        name="patch_embed")(x)
-        t = (t + self.perturb(
-            "patch_tokens",
-            jnp.zeros((1,) + t.shape[1:], t.dtype))).astype(dtype)
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, cfg.num_patches, cfg.embed_dim))
         t = t + pos.astype(dtype)

@@ -113,3 +113,157 @@ class TrainingLogger:
         fig.savefig(out, dpi=100)
         plt.close(fig)
         return out
+
+    def plot_ema_distance(self) -> Optional[Path]:
+        """Standalone EMA tracking-distance plot
+        (HQAViT_IN_Tiny.py:336-358)."""
+        h = self.history
+        if not h.get("ema_param_dist"):
+            return None
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return None
+        fig, ax = plt.subplots(figsize=(10, 6))
+        n = len(h["ema_param_dist"])
+        ax.plot(h["epoch"][:n], h["ema_param_dist"], linewidth=2,
+                color="purple", label="Param Distance")
+        ax.set_xlabel("Epoch")
+        ax.set_ylabel("L2 Distance")
+        ax.set_title("EMA Model Tracking Distance", fontweight="bold")
+        ax.legend()
+        ax.grid(True, alpha=0.3)
+        fig.tight_layout()
+        out = self.log_dir / "ema_distance.png"
+        fig.savefig(out, dpi=150)
+        plt.close(fig)
+        return out
+
+    def plot_dashboard(self) -> Optional[Path]:
+        """Combined 3x2 dashboard: loss / accuracy / LR / grad norm / EMA
+        distance / best-metrics summary (HQAViT_IN_Tiny.py:360-456)."""
+        h = self.history
+        if not h["epoch"]:
+            return None
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return None
+        fig = plt.figure(figsize=(16, 12))
+        gs = fig.add_gridspec(3, 2, hspace=0.3, wspace=0.3)
+        ep = h["epoch"]
+
+        def series(ax, specs, title, ylabel, log_y=False):
+            for key, label, style in specs:
+                if h.get(key):
+                    ax.plot(ep[:len(h[key])], h[key], style, label=label,
+                            linewidth=2)
+            ax.set_xlabel("Epoch")
+            ax.set_ylabel(ylabel)
+            ax.set_title(title, fontweight="bold")
+            if log_y:
+                ax.set_yscale("log")
+            if specs[0][1]:
+                ax.legend()
+            ax.grid(True, alpha=0.3)
+
+        series(fig.add_subplot(gs[0, 0]),
+               [("train_loss", "Train", "-"), ("val_loss", "Val", "-"),
+                ("ema_val_loss", "EMA Val", "--")], "Loss Curves", "Loss")
+        series(fig.add_subplot(gs[0, 1]),
+               [("train_acc", "Train", "-"), ("val_acc", "Val", "-"),
+                ("ema_val_acc", "EMA Val", "--")],
+               "Accuracy Curves", "Accuracy (%)")
+        series(fig.add_subplot(gs[1, 0]), [("lr", "", "-")],
+               "Learning Rate Schedule", "Learning Rate", log_y=True)
+        series(fig.add_subplot(gs[1, 1]), [("grad_norm", "", "-")],
+               "Gradient Norm", "Gradient Norm")
+        series(fig.add_subplot(gs[2, 0]),
+               [("ema_param_dist", "Param", "-")],
+               "EMA Tracking Distance", "L2 Distance")
+
+        ax6 = fig.add_subplot(gs[2, 1])
+        ax6.axis("off")
+        lines = []
+        if h.get("val_acc"):
+            lines.append(f"Best Val Acc: {max(h['val_acc']):.2f}%")
+        if h.get("ema_val_acc"):
+            lines.append(f"Best EMA Val Acc: {max(h['ema_val_acc']):.2f}%")
+        if h.get("val_loss"):
+            lines.append(f"Best Val Loss: {min(h['val_loss']):.4f}")
+        ax6.text(0.5, 0.5, "\n\n".join(lines), ha="center", va="center",
+                 fontsize=14, fontweight="bold", transform=ax6.transAxes)
+        ax6.set_title("Best Metrics", fontweight="bold", fontsize=14)
+
+        fig.suptitle("HQA-ViT Training Dashboard", fontsize=16,
+                     fontweight="bold", y=0.995)
+        out = self.log_dir / "training_dashboard.png"
+        fig.savefig(out, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return out
+
+    def plot_transfer_summary(self, pretrained_acc: float,
+                              source: str = "pretrain",
+                              target: str = "finetune") -> Optional[Path]:
+        """Transfer-learning summary figure: accuracy curves vs the
+        pretrained baseline + comparison bars with improvement annotations
+        (HQAViT_Tiny_Cifar10.py:196-258)."""
+        h = self.history
+        if not (h.get("val_acc") and h.get("train_acc")):
+            return None
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return None
+        fig, axes = plt.subplots(1, 2, figsize=(16, 6))
+        ep = h["epoch"]
+
+        ax1 = axes[0]
+        ax1.plot(ep[:len(h["train_acc"])], h["train_acc"], "b-",
+                 label="Train Acc", linewidth=2.5, marker="o", markersize=4)
+        ax1.plot(ep[:len(h["val_acc"])], h["val_acc"], "r-",
+                 label="Val Acc", linewidth=2.5, marker="s", markersize=4)
+        ax1.axhline(y=pretrained_acc, color="gray", linestyle="--",
+                    linewidth=2, alpha=0.7,
+                    label=f"Pretrained ({source}): {pretrained_acc:.2f}%")
+        ax1.axhline(y=self.best_val_acc, color="green", linestyle="--",
+                    linewidth=2,
+                    label=f"Best Val ({target}): {self.best_val_acc:.2f}%")
+        ax1.set_xlabel("Epoch", fontweight="bold")
+        ax1.set_ylabel("Accuracy (%)", fontweight="bold")
+        ax1.set_title(f"Transfer Learning: {source} → {target}",
+                      fontweight="bold", fontsize=16)
+        ax1.legend(loc="lower right", framealpha=0.9)
+        ax1.grid(True, alpha=0.3, linestyle="--")
+
+        ax2 = axes[1]
+        cats = [f"Pretrained\n({source})", f"Final Val\n({target})",
+                f"Best Val\n({target})"]
+        vals = [pretrained_acc, h["val_acc"][-1], self.best_val_acc]
+        bars = ax2.bar(cats, vals, color=["gray", "orange", "green"],
+                       alpha=0.7, edgecolor="black", linewidth=2, width=0.6)
+        for bar, v in zip(bars, vals):
+            ax2.text(bar.get_x() + bar.get_width() / 2,
+                     bar.get_height() + 0.5, f"{v:.2f}%", ha="center",
+                     va="bottom", fontweight="bold")
+        for i, color in ((1, "darkred"), (2, "darkgreen")):
+            ax2.annotate(f"{vals[i] - vals[0]:+.2f}%", xy=(i, vals[i]),
+                         xytext=(i, vals[0] + (vals[i] - vals[0]) / 2),
+                         ha="center", color=color, fontweight="bold")
+        ax2.set_ylabel("Accuracy (%)", fontweight="bold")
+        ax2.set_title("Performance Comparison", fontweight="bold",
+                      fontsize=16)
+        ax2.set_ylim([min(vals) - 5, max(vals) + 5])
+        ax2.grid(True, alpha=0.3, axis="y", linestyle="--")
+
+        fig.tight_layout()
+        out = self.log_dir / "final_summary.png"
+        fig.savefig(out, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return out

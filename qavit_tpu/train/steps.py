@@ -23,25 +23,32 @@ from qavit_tpu.train.state import TrainState, ema_update, swap_bank
 
 def make_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
                     schedule: Optional[Callable] = None,
-                    jit: bool = True):
+                    jit: bool = True, debug_grads: bool = False):
     """Build ``train_step(state, images, targets, rng) -> (state, metrics)``.
 
     images: [B, H, W, C] normalised float32; targets: [B] int32.
-    """
 
-    def train_step(state: TrainState, images, targets, rng):
-        rng = jax.random.fold_in(rng, state.step)
+    With ``tc.gradient_accumulation_steps = k > 1`` the batch is split into
+    k micro-batches scanned inside the step: gradients average across
+    micro-batches, clipping/optimizer/EMA run once on the accumulated
+    gradient, while the bank and BatchNorm stats advance per micro-forward
+    — exactly the reference's loss/accum + boundary-step semantics
+    (HQAViT_CIFAR100.py:85, 1405-1440).
+    """
+    accum = max(int(getattr(tc, "gradient_accumulation_steps", 1)), 1)
+
+    def forward_and_grad(params, batch_stats, bank_count, images, targets,
+                         rng):
         rng_mix, rng_dropout = jax.random.split(rng)
         batch = apply_mix(rng_mix, images, targets, tc)
-
-        has_bn = bool(state.batch_stats)
+        has_bn = bool(batch_stats)
 
         def loss_fn(params):
             variables = {"params": params}
             if has_bn:
-                variables["batch_stats"] = state.batch_stats
+                variables["batch_stats"] = batch_stats
             out = model.apply(variables, batch.images, train=True,
-                              bank_count=state.bank_count,
+                              bank_count=bank_count,
                               rngs={"dropout": rng_dropout},
                               mutable=["batch_stats"] if has_bn else False)
             if has_bn:
@@ -49,13 +56,49 @@ def make_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
                 new_bs = mut["batch_stats"]
             else:
                 logits, bank = out
-                new_bs = state.batch_stats
+                new_bs = batch_stats
             loss = mixed_loss(logits, batch, mc.num_classes,
                               tc.label_smoothing)
             return loss, (logits, bank, new_bs)
 
-        (loss, (logits, bank, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def train_step(state: TrainState, images, targets, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        if accum == 1:
+            (loss, (logits, bank, new_bs)), grads = forward_and_grad(
+                state.params, state.batch_stats, state.bank_count,
+                images, targets, rng)
+            preds = jnp.argmax(logits, axis=-1)
+            correct = (preds == targets).sum()
+        else:
+            b = images.shape[0]
+            micro = b // accum
+            imgs = images[: accum * micro].reshape((accum, micro)
+                                                   + images.shape[1:])
+            tgts = targets[: accum * micro].reshape(accum, micro)
+
+            def scan_body(carry, xs):
+                bstats, bcount, grad_acc, loss_acc, correct_acc = carry
+                im, tg, i = xs
+                (l, (lg, bank_i, bs_i)), g = forward_and_grad(
+                    state.params, bstats, bcount,
+                    im, tg, jax.random.fold_in(rng, i))
+                grad_acc = jax.tree.map(jnp.add, grad_acc, g)
+                correct_acc = correct_acc + (jnp.argmax(lg, -1) == tg).sum()
+                return ((bs_i, bank_i.count, grad_acc, loss_acc + l,
+                         correct_acc), bank_i)
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (new_bs, _, grads, loss_sum, correct), banks = jax.lax.scan(
+                scan_body,
+                (state.batch_stats, state.bank_count, zeros,
+                 jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+                (imgs, tgts, jnp.arange(accum)))
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            loss = loss_sum / accum
+            bank = jax.tree.map(lambda x: x[-1], banks)
 
         grads, grad_norm = apply_clipping(grads, tc)
 
@@ -73,11 +116,8 @@ def make_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
         else:
             new_ema, new_ema_bs = None, None
 
-        preds = jnp.argmax(logits, axis=-1)
         # accuracy is measured against the un-mixed targets, as in the
         # reference (HQAViT_CIFAR100.py:1445-1448)
-        correct = (preds == targets).sum()
-
         metrics = {
             "loss": loss,
             "correct": correct,
@@ -87,6 +127,11 @@ def make_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
                            if tc.log_param_norm
                            else jnp.zeros((), jnp.float32)),
         }
+        if debug_grads:
+            # per-leaf norms feed GradientMonitor's top-layer explosion
+            # report (HQAViT_CIFAR100.py:190-250)
+            from qavit_tpu.obs.monitor import grad_stats
+            metrics["per_leaf"] = grad_stats(grads)["per_leaf"]
         if schedule is not None:
             metrics["lr"] = schedule(state.step)
 

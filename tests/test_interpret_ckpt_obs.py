@@ -178,3 +178,88 @@ def test_grad_cam_bf16_model(tiny_cfg, rng):
     cam, cls = grad_cam(model, variables, img)
     assert cam.shape == (16, 16)
     assert np.isfinite(cam).all()
+
+
+def test_gradcam_hook_is_pre_norm(tiny_cfg, tiny_bundle, rng):
+    """The perturbation must sit on the pre-LN projection output, exactly
+    where the reference hooks model.patch_embed.proj (test_hqa.py:243):
+    perturbing it must shift the recomputed hooked activation 1:1."""
+    from qavit_tpu.interpret.gradcam import _patch_activation
+
+    model, variables = tiny_bundle
+    img = jax.random.normal(rng, (1, 16, 16, 3))
+    acts = _patch_activation(tiny_cfg, variables["params"], img)
+    # pre-norm activation is NOT normalised: per-token mean/var are free
+    stds = np.asarray(acts[0].std(axis=-1))
+    assert not np.allclose(stds, 1.0, atol=0.05)
+
+    # a UNIFORM shift at the pre-LN hook must vanish through the LN's
+    # mean-subtraction (shift invariance) — only true pre-norm
+    uniform = jnp.ones((1,) + acts.shape[1:], jnp.float32)
+    base = {k: v for k, v in variables.items() if k != "perturbations"}
+    l_uni, _ = model.apply(
+        {**base,
+         "perturbations": {"patch_embed": {"patch_tokens": uniform}}},
+        img, train=False, bank_count=0)
+
+    # a non-uniform perturbation must shift logits through the model
+    pert = jax.random.normal(jax.random.fold_in(rng, 7),
+                             (1,) + acts.shape[1:], jnp.float32)
+    l0, _ = model.apply(base, img, train=False, bank_count=0)
+    l1, _ = model.apply(
+        {**base, "perturbations": {"patch_embed": {"patch_tokens": pert}}},
+        img, train=False, bank_count=0)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l_uni), atol=1e-5)
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+
+
+def test_tta_reference_transform_set():
+    """The 5 exact TTA transforms of HQAViT_C100_Finetune.py:106-132."""
+    from qavit_tpu.data.augment import AugConfig, normalize
+    from qavit_tpu.eval import make_tta_preprocessors
+
+    aug = AugConfig(mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25))
+    preps = make_tta_preprocessors(aug, seed=0)
+    assert len(preps) == 5
+
+    imgs = np.random.RandomState(0).randint(
+        40, 216, (4, 32, 32, 3)).astype(np.uint8)
+    ident, flip, crop, flip_crop, bright = [np.asarray(p(jnp.asarray(imgs)))
+                                            for p in preps]
+    expect = np.asarray(normalize(imgs.astype(np.float32) / 255.0,
+                                  aug.mean, aug.std))
+    # 1: identity = plain normalise; 2: deterministic h-flip
+    np.testing.assert_allclose(ident, expect, atol=1e-5)
+    np.testing.assert_allclose(flip, expect[:, :, ::-1], atol=1e-5)
+    # 3/4: random crops draw fresh offsets on the next batch
+    crop2 = np.asarray(preps[2](jnp.asarray(imgs)))
+    assert not np.allclose(crop, crop2)
+    assert crop.shape == ident.shape and flip_crop.shape == ident.shape
+    # 5: brightness factor in U[0.9, 1.1] per image (ColorJitter(0.1));
+    # check the implied per-image ratio on unclipped pixels
+    denorm = lambda x: x * 0.25 + 0.5
+    ratio = denorm(bright) / np.clip(denorm(ident), 1e-3, None)
+    per_img = ratio.reshape(4, -1)
+    med = np.median(per_img, axis=1)
+    assert np.all(med > 0.899) and np.all(med < 1.101)
+    assert np.std(med) > 0  # factors differ across images
+
+
+def test_dashboard_and_transfer_plots(tmp_path):
+    """EMA-distance panel, combined dashboard and transfer-summary figure
+    (HQAViT_IN_Tiny.py:242-456, HQAViT_Tiny_Cifar10.py:196-258)."""
+    logger = TrainingLogger(tmp_path, track_ema=True)
+    for e in range(1, 6):
+        logger.log_epoch(e, {
+            "train_loss": 4.0 / e, "train_acc": 10.0 * e,
+            "val_loss": 4.2 / e, "val_acc": 8.0 * e,
+            "ema_val_loss": 4.1 / e, "ema_val_acc": 8.5 * e,
+            "ema_param_dist": 0.1 / e, "lr": 1e-3 / e,
+            "grad_norm": 0.5, "epoch_time": 9.0})
+    assert logger.plot_dashboard() is not None
+    assert logger.plot_ema_distance() is not None
+    assert logger.plot_transfer_summary(72.65, "cifar100", "cifar10") \
+        is not None
+    for f in ("training_dashboard.png", "ema_distance.png",
+              "final_summary.png"):
+        assert (tmp_path / f).stat().st_size > 0

@@ -61,10 +61,35 @@ def test_nan_guard_zeroes_logits(tiny_cfg, tiny_bundle, rng):
     model, variables = tiny_bundle
     x = jnp.full((2, 16, 16, 3), jnp.nan, jnp.float32)
     logits, _ = model.apply(variables, x, train=False, bank_count=0)
-    # attention outputs were zeroed; downstream convs still see NaN input
-    # via the CNN stem, but the guard prevented attention blow-up.  We just
-    # require the forward to complete.
+    # attention outputs were zeroed; downstream convs/residuals still see
+    # NaN input (as in the reference, only attention is guarded) but the
+    # forward must complete.
     assert logits.shape == (2, tiny_cfg.num_classes)
+
+
+def test_nan_guard_zeroes_attention_output(rng):
+    """The guard itself: NaN anywhere in q/k/v -> exactly-zero output;
+    without the guard the NaN propagates (QAViT.py:261-289)."""
+    from qavit_tpu.nn.branches import guarded_attention
+
+    kq, kk = jax.random.split(rng)
+    q = jax.random.normal(kq, (2, 8, 2, 16), jnp.float32)
+    k = jax.random.normal(kk, (2, 8, 2, 16), jnp.float32)
+    v = jnp.ones((2, 8, 2, 16), jnp.float32)
+    k_bad = k.at[1, 3, 0, 2].set(jnp.nan)
+
+    out = guarded_attention(q, k_bad, v, dropout=0.0, train=False, rng=None,
+                            impl="xla", guard=True)
+    assert jnp.all(out == 0.0), "guard must zero the whole output"
+
+    unguarded = guarded_attention(q, k_bad, v, dropout=0.0, train=False,
+                                  rng=None, impl="xla", guard=False)
+    assert jnp.isnan(unguarded).any(), "without the guard NaNs propagate"
+
+    # clean inputs pass through the guard untouched
+    clean = guarded_attention(q, k, v, dropout=0.0, train=False, rng=None,
+                              impl="xla", guard=True)
+    assert jnp.isfinite(clean).all() and not jnp.all(clean == 0.0)
 
 
 def test_all_presets_construct():

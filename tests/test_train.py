@@ -211,3 +211,70 @@ def test_mix_extreme_single_draw(rng):
             mixed += 1
     # mixup_prob + cutmix_prob = 1.0 -> virtually every draw mixes
     assert mixed >= 15
+
+
+def test_gradient_accumulation_step(tiny_cfg, tiny_bundle, tiny_train_cfg,
+                                    rng):
+    """k=2 accumulation must advance bank/BN per micro-batch, step the
+    optimizer once, and keep metrics sane (HQAViT_CIFAR100.py:1405-1440)."""
+    model, variables = tiny_bundle
+    tc = tiny_train_cfg.replace(gradient_accumulation_steps=2,
+                                use_mixup=False, use_cutmix=False)
+    sched = make_schedule(tc, 10)
+    tx = make_optimizer(tc, 10, sched)
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"), use_ema=True)
+    step = make_train_step(model, tx, tiny_cfg, tc, sched)
+    x = jax.random.normal(rng, (4, 16, 16, 3))
+    y = jnp.array([0, 1, 2, 3])
+    state2, m = step(state, x, y, rng)
+    assert int(state2.step) == 1                     # ONE optimizer step
+    # bank wrote once per micro-forward: 2 micro-batches
+    assert int(state2.bank_count) == 2 * 3 * tiny_cfg.depth
+    assert np.isfinite(float(m["loss"]))
+    assert int(m["correct"]) <= 4 and int(m["count"]) == 4
+    d0 = jax.flatten_util.ravel_pytree(state.params)[0]
+    d1 = jax.flatten_util.ravel_pytree(state2.params)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
+
+def test_gradient_accumulation_matches_full_batch(tiny_plain_cfg, rng):
+    """With dropout/mixing off, no BN (plain model) and bank writes
+    neutralised (rate 0 — otherwise micro-batch 2 reads micro-batch 1's
+    write, unlike the single full batch), mean-of-micro-grads ==
+    grad-of-full-batch, so k=2 must reproduce the k=1 update exactly."""
+    from qavit_tpu.configs.model import BankConfig
+
+    tc = TrainingConfig(batch_size=4, use_ema=False, use_mixup=False,
+                        use_cutmix=False, label_smoothing=0.0,
+                        subtree_clip_norm=None, donate=False)
+    sched = make_schedule(tc, 10)
+    tx = make_optimizer(tc, 10, sched)
+
+    cfg = tiny_plain_cfg.replace(
+        dropout=0.0, drop_path=0.0,
+        bank=BankConfig(update_rate_warm=0.0, update_rate=0.0))
+    model2, variables2 = init_model(cfg, jax.random.PRNGKey(0))
+
+    x = jax.random.normal(rng, (4, 16, 16, 3))
+    y = jnp.array([0, 1, 2, 3])
+
+    def run(k):
+        tck = tc.replace(gradient_accumulation_steps=k)
+        st = create_train_state(variables2["params"], tx, None,
+                                use_ema=False)
+        step = make_train_step(model2, tx, cfg, tck, sched)
+        st2, m = step(st, x, y, rng)
+        return st2, m
+
+    s1, m1 = run(1)
+    s2, m2 = run(2)
+    # identical micro-data => equal accumulated grads; bank writes are
+    # stop-gradient so the only difference is the batch-mean granularity
+    # of the bank VALUE, which does not feed this step's gradients.
+    p1 = jax.flatten_util.ravel_pytree(
+        {k: v for k, v in s1.params.items() if k != "global_bank"})[0]
+    p2 = jax.flatten_util.ravel_pytree(
+        {k: v for k, v in s2.params.items() if k != "global_bank"})[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=2e-4, atol=2e-6)
