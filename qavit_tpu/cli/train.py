@@ -101,9 +101,6 @@ def main(argv=None):
     eval_bs = tc.eval_batch_size or 2 * global_batch
 
     spc = max(args.steps_per_call, 1)
-    if spc > 1 and mesh is not None:
-        print("steps-per-call > 1 is single-chip only; using 1")
-        spc = 1
     train_loader = BatchLoader(ds.train_images, ds.train_labels,
                                global_batch * spc, shuffle=True,
                                seed=tc.seed)
@@ -140,7 +137,14 @@ def main(argv=None):
 
     aug_cfg = pipe.aug
     if mesh is not None:
-        train_step = make_gspmd_train_step(model, tx, mc, tc, mesh, sched)
+        if spc > 1:
+            from qavit_tpu.parallel import make_gspmd_train_chunk
+            train_step = make_gspmd_train_chunk(model, tx, mc, tc, aug_cfg,
+                                                mesh, num_steps=spc,
+                                                schedule=sched)
+        else:
+            train_step = make_gspmd_train_step(model, tx, mc, tc, mesh,
+                                               sched)
         eval_step = make_dp_eval_step(model, mc, mesh)
         eval_step_ema = make_dp_eval_step(model, mc, mesh, use_ema=True)
     else:
@@ -213,10 +217,16 @@ def main(argv=None):
                 # fused path: raw uint8 super-batch [K, B, ...]; aug runs
                 # inside the compiled chunk
                 shape = (spc, global_batch) + images_u8.shape[1:]
-                state, m = train_step(state,
-                                      images_u8.reshape(shape),
-                                      labels.reshape(spc, global_batch),
-                                      step_rng)
+                images_k = images_u8.reshape(shape)
+                labels_k = labels.reshape(spc, global_batch)
+                if mesh is not None:
+                    from jax.sharding import (NamedSharding,
+                                              PartitionSpec as P)
+                    from qavit_tpu.parallel.mesh import DATA_AXIS
+                    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+                    images_k = jax.device_put(images_k, sh)
+                    labels_k = jax.device_put(labels_k, sh)
+                state, m = train_step(state, images_k, labels_k, step_rng)
                 host_step += spc
             else:
                 aug_rng = jax.random.fold_in(step_rng, host_step)

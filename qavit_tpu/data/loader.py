@@ -16,13 +16,35 @@ import jax
 import numpy as np
 
 
+def process_local_indices(batch_idx: np.ndarray, process_count: int,
+                          process_index: int) -> np.ndarray:
+    """This process's contiguous slice of a global batch's indices.
+
+    Every host computes the SAME shuffled permutation (shared seed) and
+    feeds only its 1/process_count share; the shares are reassembled into
+    one global sharded array via
+    ``jax.make_array_from_process_local_data``.
+    """
+    local = len(batch_idx) // process_count
+    lo = process_index * local
+    return batch_idx[lo:lo + local]
+
+
 class BatchLoader:
-    """Iterates (device uint8 images [B,H,W,3], device int32 labels)."""
+    """Iterates (device uint8 images [B,H,W,3], device int32 labels).
+
+    On a multi-host slice (``jax.process_count() > 1``) each process loads
+    only its share of every global batch and the loader assembles the
+    global jax.Array with ``make_array_from_process_local_data`` — the
+    multi-host analogue of the single-process ``device_put``.
+    """
 
     def __init__(self, images: np.ndarray, labels: np.ndarray,
                  batch_size: int, shuffle: bool = True, seed: int = 0,
                  drop_last: bool = True,
-                 sharding: Optional[jax.sharding.Sharding] = None):
+                 sharding: Optional[jax.sharding.Sharding] = None,
+                 process_count: Optional[int] = None,
+                 process_index: Optional[int] = None):
         assert images.ndim == 4 and images.dtype == np.uint8
         self.images = images
         self.labels = labels.astype(np.int32)
@@ -30,6 +52,12 @@ class BatchLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.sharding = sharding
+        self.process_count = (jax.process_count() if process_count is None
+                              else process_count)
+        self.process_index = (jax.process_index() if process_index is None
+                              else process_index)
+        if self.process_count > 1 and sharding is None:
+            raise ValueError("multi-host loading requires a sharding")
         self._rng = np.random.RandomState(seed)
         self._epoch = 0
 
@@ -40,6 +68,14 @@ class BatchLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _put(self, x, y):
+        if self.process_count > 1:
+            # x/y are this process's LOCAL share of the global batch
+            gshape_x = (self.batch_size,) + x.shape[1:]
+            gshape_y = (self.batch_size,) + y.shape[1:]
+            return (jax.make_array_from_process_local_data(
+                        self.sharding, x, gshape_x),
+                    jax.make_array_from_process_local_data(
+                        self.sharding, y, gshape_y))
         if self.sharding is not None:
             return (jax.device_put(x, self.sharding),
                     jax.device_put(y, self.sharding))
@@ -59,6 +95,9 @@ class BatchLoader:
         pending = None
         for i in range(num):
             sel = idx[i * bs:(i + 1) * bs]
+            if self.process_count > 1:
+                sel = process_local_indices(sel, self.process_count,
+                                            self.process_index)
             nxt = self._put(self.images[sel], self.labels[sel])
             if pending is not None:
                 yield pending

@@ -136,6 +136,33 @@ def make_shardmap_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
     return jax.jit(shmapped, donate_argnums=(0,) if tc.donate else ())
 
 
+def make_gspmd_train_chunk(model, tx, mc: ModelConfig, tc: TrainingConfig,
+                           aug_cfg, mesh: Mesh, num_steps: int = 8,
+                           schedule: Optional[Callable] = None):
+    """The fused aug+K-step chunk under GSPMD data parallelism.
+
+    Same one-dispatch path as the single-chip
+    :func:`~qavit_tpu.train.steps.make_fused_train_chunk` — raw uint8
+    super-batches [K, B, H, W, 3] with device-side augmentation — but the
+    per-step batch axis is sharded over the ``data`` mesh axis, so
+    multi-chip runs keep the fused-dispatch throughput (lifts the r1
+    single-chip restriction, VERDICT #5).
+    """
+    from qavit_tpu.train.steps import make_fused_train_chunk
+
+    chunk = make_fused_train_chunk(model, tx, mc, tc, aug_cfg,
+                                   num_steps=num_steps, schedule=schedule,
+                                   jit=False)
+    repl = NamedSharding(mesh, P())
+    super_sh = NamedSharding(mesh, P(None, DATA_AXIS))  # [K, B, ...]
+    return jax.jit(
+        chunk,
+        in_shardings=(repl, super_sh, super_sh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if tc.donate else (),
+    )
+
+
 def make_dp_eval_step(model, mc: ModelConfig, mesh: Mesh,
                       use_ema: bool = False):
     """Sharded eval step (GSPMD)."""

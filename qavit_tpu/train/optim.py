@@ -38,11 +38,12 @@ def make_schedule(tc: TrainingConfig, steps_per_epoch: int) -> Callable:
     warmup = min(steps_per_epoch * tc.warmup_epochs, total - 1)
     if tc.schedule == "onecycle":
         # OneCycleLR(cos anneal, pct_start=warmup/total, div_factor,
-        # final_div_factor) — QAViT.py:896-904
+        # final_div_factor) — QAViT.py:896-904.  At least ONE warmup step:
+        # pct_start ~ 0 makes the warmup interpolation 0/0 -> NaN LR.
         return optax.cosine_onecycle_schedule(
             transition_steps=total,
             peak_value=tc.base_lr,
-            pct_start=max(warmup / max(total, 1), 1e-8),
+            pct_start=max(warmup, 1) / total,
             div_factor=tc.onecycle_div_factor,
             final_div_factor=tc.onecycle_final_div,
         )

@@ -96,3 +96,105 @@ def test_dp_eval_step(dp_setup, rng):
     m = step(state, x, y)
     assert int(m["count"]) == 16
     assert 0 <= int(m["top1"]) <= int(m["top5"]) <= 16
+
+
+def test_gspmd_and_shardmap_dp_are_equivalent(dp_setup, rng):
+    """The two DP implementations must produce the same trained state on
+    the same data (VERDICT r1 #5).  Mixing/dropout off so both paths are
+    deterministic; GSPMD's global batch-mean must equal shard_map's pmean
+    of per-shard means (equal shard sizes)."""
+    cfg, tc = dp_setup
+    cfg = cfg.replace(dropout=0.0, drop_path=0.0)
+    tc = tc.replace(use_mixup=False, use_cutmix=False)
+    mesh = make_mesh()
+    sched = make_schedule(tc, 4)
+    tx = make_optimizer(tc, 4, sched)
+
+    model_g, variables = init_model(cfg, jax.random.PRNGKey(3))
+    model_s = build_model(cfg, pmean_axis=DATA_AXIS)
+
+    def fresh_state():
+        return create_train_state(variables["params"], tx,
+                                  variables.get("batch_stats"),
+                                  use_ema=True)
+
+    step_g = make_gspmd_train_step(model_g, tx, cfg, tc, mesh, sched)
+    step_s = make_shardmap_train_step(model_s, tx, cfg, tc, mesh, sched)
+
+    xs = jax.random.normal(rng, (3, 16, 16, 16, 3))
+    ys = jnp.tile(jnp.arange(8), (3, 2)).astype(jnp.int32)
+
+    sg, ss = fresh_state(), fresh_state()
+    for k in range(3):
+        x, y = shard_batch(mesh, xs[k], ys[k])
+        sg, mg = step_g(sg, x, y, rng)
+        ss, ms = step_s(ss, xs[k], ys[k], rng)
+        np.testing.assert_allclose(float(mg["loss"]), float(ms["loss"]),
+                                   rtol=1e-5)
+
+    pg = jax.flatten_util.ravel_pytree(sg.params)[0]
+    ps = jax.flatten_util.ravel_pytree(ss.params)[0]
+    np.testing.assert_allclose(np.asarray(pg), np.asarray(ps),
+                               rtol=2e-5, atol=1e-6)
+    assert int(sg.bank_count) == int(ss.bank_count)
+    eg = jax.flatten_util.ravel_pytree(sg.ema_params)[0]
+    es = jax.flatten_util.ravel_pytree(ss.ema_params)[0]
+    np.testing.assert_allclose(np.asarray(eg), np.asarray(es),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_gspmd_fused_chunk_on_mesh(dp_setup, rng):
+    """steps-per-call > 1 must work under a mesh: the fused aug+K-step
+    chunk runs sharded (lifts the r1 single-chip restriction)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from qavit_tpu.data.augment import AugConfig
+    from qavit_tpu.parallel import make_gspmd_train_chunk
+
+    cfg, tc = dp_setup
+    mesh = make_mesh()
+    model, variables = init_model(cfg, rng)
+    sched = make_schedule(tc, 4)
+    tx = make_optimizer(tc, 4, sched)
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"), use_ema=True)
+    aug = AugConfig(mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25),
+                    crop_pad=2)
+    chunk = make_gspmd_train_chunk(model, tx, cfg, tc, aug, mesh,
+                                   num_steps=2, schedule=sched)
+    imgs = np.random.RandomState(0).randint(
+        0, 255, (2, 16, 16, 16, 3)).astype(np.uint8)
+    tgts = jnp.tile(jnp.arange(8), (2, 2)).astype(jnp.int32)
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    state2, m = chunk(state, jax.device_put(imgs, sh),
+                      jax.device_put(tgts, sh), rng)
+    assert int(state2.step) == 2
+    assert m["loss"].shape == (2,)
+    assert np.isfinite(np.asarray(m["loss"])).all()
+
+
+def test_multihost_loader_slicing():
+    """Each (simulated) process takes a disjoint contiguous share of the
+    same global permutation; shares reassemble the global batch."""
+    from qavit_tpu.data.loader import process_local_indices
+
+    batch = np.arange(32)
+    shares = [process_local_indices(batch, 4, p) for p in range(4)]
+    assert all(len(s) == 8 for s in shares)
+    np.testing.assert_array_equal(np.concatenate(shares), batch)
+
+
+def test_loader_sharded_placement(dp_setup):
+    """Loader with a mesh sharding yields batch-sharded device arrays."""
+    from qavit_tpu.data.loader import BatchLoader
+    from qavit_tpu.parallel import batch_sharding
+
+    mesh = make_mesh()
+    imgs = np.zeros((32, 16, 16, 3), np.uint8)
+    labels = np.arange(32, dtype=np.int64)
+    loader = BatchLoader(imgs, labels, 16, shuffle=False,
+                         sharding=batch_sharding(mesh))
+    x, y = next(iter(loader))
+    assert x.shape == (16, 16, 16, 3)
+    assert len(x.sharding.device_set) == 8
+    # each device holds a [2, ...] shard of the batch
+    assert x.addressable_shards[0].data.shape[0] == 2
