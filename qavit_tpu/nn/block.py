@@ -54,6 +54,25 @@ class QuadAttentionBlock(nn.Module):
                  train: bool = False) -> Tuple[Carry, None]:
         cfg = self.cfg
         x, state = carry
+
+        if cfg.attn_impl == "fused_block":
+            from qavit_tpu.kernels.fused_block import fused_quad_block
+            from qavit_tpu.kernels.fused_params import declare_block_params
+            from qavit_tpu.kernels.fused_ref import make_geom
+
+            geom = make_geom(cfg)
+            # fused path covers the single-window geometry and bypasses
+            # intermediates sowing (rollout uses the reference path)
+            if (geom is not None and x.shape[1] == geom.n
+                    and not self.is_mutable_collection("intermediates")
+                    and not self.is_initializing()):
+                p = declare_block_params(cfg, geom)
+                rng = self.make_rng("dropout") if train else None
+                x, state = fused_quad_block(
+                    p, x, state, dpr, bank_params, cfg.bank, geom,
+                    self.dtype, train, rng, self.pmean_axis)
+                return (x, state), None
+
         d_c = cfg.embed_dim // cfg.compress_ratio
         x_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                               name="norm1")(x)
