@@ -22,10 +22,15 @@ import optax
 
 from qavit_tpu.configs.training import TrainingConfig
 
-# Bank write-path params never receive gradients (the update path is
-# gradient-free; see qavit_tpu/nn/bank.py) so torch's AdamW never touches
-# them — mask them out of weight decay to match.
-_NO_WD_KEYS = ("write_norm", "write_compression", "write_gate")
+# Params that never receive gradients in torch (their outputs feed only
+# the bank write path, which is all ``.data`` ops): the bank write
+# projections (qavit_tpu/nn/bank.py) AND each writing branch's post-proj
+# LayerNorm (``self.norm(output)`` feeds only ``global_bank.write``,
+# QAViT.py:362).  torch's AdamW skips None-grad params entirely, so they
+# must be masked out of optax's decoupled weight decay too — otherwise
+# they decay toward zero over a long run with zero gradients.
+_NO_WD_KEYS = ("write_norm", "write_compression", "write_gate",
+               "swa/norm/", "msda/norm/", "cga/norm/")
 
 
 def _path_str(path) -> str:

@@ -278,3 +278,40 @@ def test_gradient_accumulation_matches_full_batch(tiny_plain_cfg, rng):
         {k: v for k, v in s2.params.items() if k != "global_bank"})[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
                                rtol=2e-4, atol=2e-6)
+
+
+def test_gradient_free_params_not_decayed(tiny_cfg, tiny_bundle, rng):
+    """Branch write-path LNs and bank write projections get NO gradient in
+    torch (outputs feed only .data ops, QAViT.py:362 / :183-224) so AdamW
+    never updates them; with zero grads our decoupled weight decay must
+    leave them untouched too."""
+    from qavit_tpu.train import make_train_step
+
+    model, variables = tiny_bundle
+    tc = TrainingConfig(batch_size=4, use_ema=False, donate=False)
+    sched = make_schedule(tc, 10)
+    tx = make_optimizer(tc, 10, sched)
+    state = create_train_state(variables["params"], tx, 
+                               variables.get("batch_stats"), use_ema=False)
+    step = make_train_step(model, tx, tiny_cfg, tc, sched)
+    x = jax.random.normal(rng, (4, 16, 16, 3))
+    y = jnp.array([0, 1, 2, 3])
+    state2, _ = step(state, x, y, rng)
+
+    def blk(params, stage):
+        return params[stage]["quad_block"]
+
+    for stage in ("stage1_blocks", "stage2_blocks"):
+        for br in ("swa", "msda", "cga"):
+            before = blk(state.params, stage)[br]["norm"]
+            after = blk(state2.params, stage)[br]["norm"]
+            np.testing.assert_array_equal(np.asarray(before["scale"]),
+                                          np.asarray(after["scale"]))
+        bank_b = state.params["global_bank"]["write_norm_scale"]
+        bank_a = state2.params["global_bank"]["write_norm_scale"]
+        np.testing.assert_array_equal(np.asarray(bank_b),
+                                      np.asarray(bank_a))
+        # but norm_swa (post-branch, DOES get grads) moved
+        ns_b = blk(state.params, stage)["norm_swa"]["scale"]
+        ns_a = blk(state2.params, stage)["norm_swa"]["scale"]
+        assert not np.array_equal(np.asarray(ns_b), np.asarray(ns_a))
