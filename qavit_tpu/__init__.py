@@ -27,3 +27,17 @@ library:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# The fused-block Pallas kernels keep a whole batch tile's working set in
+# VMEM (~74 MB for the largest backward at tile 64).  Their per-kernel
+# vmem_limit_bytes override is honoured for standalone calls, but under
+# deep remat/scan/while nesting XLA's own scoped-vmem check falls back to
+# its 16 MiB default — raise it process-wide BEFORE backend init.
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=102400"
+if "xla_tpu_scoped_vmem_limit_kib" not in _os.environ.get(
+        "LIBTPU_INIT_ARGS", ""):
+    _os.environ["LIBTPU_INIT_ARGS"] = (
+        _os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG
+    ).strip()

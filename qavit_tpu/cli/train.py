@@ -49,6 +49,10 @@ def parse_args(argv=None):
                         "the top-10 layers on explosions / at print_freq")
     p.add_argument("--grad-accum", type=int, default=None,
                    help="gradient accumulation micro-steps per update")
+    p.add_argument("--attn-impl", default=None,
+                   choices=["default", "fused_block"],
+                   help="override ModelConfig.attn_impl (fused_block = "
+                        "whole-block Pallas kernels)")
     return p.parse_args(argv)
 
 
@@ -85,6 +89,8 @@ def main(argv=None):
     if args.grad_accum is not None:
         overrides["gradient_accumulation_steps"] = args.grad_accum
     tc = tc.replace(**overrides)
+    if args.attn_impl is not None:
+        mc = mc.replace(attn_impl=args.attn_impl)
 
     print(f"preset={args.preset} model={mc.name} dataset={preset.dataset}")
 

@@ -48,8 +48,13 @@ def finish_bank_update(bank_cfg: BankConfig, state: BankState,
     return BankState(new_k, new_v, state.count + 1)
 
 
+# Tests flip this to exercise the Pallas kernels in interpreter mode on
+# CPU (the standard JAX substitute for kernel CI without a chip).
+FORCE_PALLAS_INTERPRET = False
+
+
 def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" or FORCE_PALLAS_INTERPRET
 
 
 def fused_quad_block(p: Dict[str, Any], x: jax.Array, state: BankState,
@@ -61,9 +66,10 @@ def fused_quad_block(p: Dict[str, Any], x: jax.Array, state: BankState,
     """One QuadAttentionBlock forward on tokens ``x`` [B, n, C]."""
     if _use_pallas():
         from qavit_tpu.kernels import fused_kernels as K
-        return K.fused_quad_block_tpu(p, x, state, dpr, bank_params,
-                                      bank_cfg, geom, dtype, train, rng,
-                                      pmean_axis)
+        return K.fused_quad_block_tpu(
+            p, x, state, dpr, bank_params, bank_cfg, geom, dtype, train,
+            rng, pmean_axis,
+            interpret=jax.default_backend() != "tpu")
     return fused_quad_block_ref(p, x, state, dpr, bank_params, bank_cfg,
                                 geom, dtype, train, rng, pmean_axis)
 
@@ -72,10 +78,7 @@ def fused_quad_block_ref(p, x, state, dpr, bank_params, bank_cfg, geom,
                          dtype, train, rng, pmean_axis):
     """jnp-twin execution (CPU fallback + numerics reference)."""
     b = x.shape[0]
-    if train and rng is not None:
-        r = list(jax.random.split(rng, 14))
-    else:
-        r = [None] * 14
+    m = R.make_block_masks(rng, b, geom, dpr, train)
 
     xn = R.layer_norm(x, p["norm1"], dtype)
 
@@ -86,18 +89,22 @@ def fused_quad_block_ref(p, x, state, dpr, bank_params, bank_cfg, geom,
         return finish_bank_update(bank_cfg, state, pk, pv, b, pmean_axis)
 
     out_swa, normed = R.swa_ref(p["swa"], xn, state.k, state.v, geom,
-                                dtype, train=train, rngs=(r[0], r[1]))
+                                dtype, masks=(m["swa_attn"],
+                                              m["swa_proj"]))
     state = write(state, normed)
     out_msda, normed = R.msda_ref(p["msda"], xn, state.k, state.v, geom,
-                                  dtype, train=train, rngs=(r[2], r[3]))
+                                  dtype, masks=(m["msda_attn"],
+                                                m["msda_proj"]))
     state = write(state, normed)
     out_cga, normed = R.cga_ref(p["cga"], xn, state.k, state.v, geom,
-                                dtype, train=train, rngs=(r[4], r[5]))
+                                dtype, masks=(m["cga_attn"],
+                                              m["cga_proj"]))
     state = write(state, normed)
     out_cross = R.cross_ref(p["cross_attn"], xn, state.k, state.v, geom,
-                            dtype, train=train, rngs=(r[6], r[7]))
+                            dtype, masks=(m["cross_attn"],
+                                          m["cross_proj"]))
 
-    y = R.tail_ref(p, x, (out_swa, out_msda, out_cga, out_cross), dpr,
-                   geom, dtype, train=train,
-                   rngs=(r[8], r[9], r[10], r[11], r[12]))
+    y = R.tail_ref(p, x, (out_swa, out_msda, out_cga, out_cross),
+                   geom, dtype, masks=(m["bn1"], m["bn2"], m["dp1"],
+                                       m["ffn"], m["dp2"]))
     return y, state

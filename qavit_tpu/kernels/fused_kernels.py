@@ -1,17 +1,196 @@
-"""Pallas TPU kernels for the fused QuadAttentionBlock path.
+"""Pallas TPU execution of the fused QuadAttentionBlock path.
 
-Being built unit by unit; anything not yet lowered to Pallas runs through
-the jnp twins (XLA still fuses those well).  See
-:mod:`qavit_tpu.kernels.fused_block` for the orchestration and the
-bank-barrier design notes.
+The block is four Pallas kernels with tiny XLA glue between them — the
+bank's global-batch-mean write (torch in-place mutation, QAViT.py:183-224)
+is a device-wide barrier between branches, so one kernel per bank epoch:
+
+    K1  norm1 + SWA branch      -> out_swa, xn, bank partials
+    K2  MSDA branch (new bank)  -> out_msda, bank partials
+    K3  CGA branch  (new bank)  -> out_cga,  bank partials
+    K4  cross branch + tail     -> block output
+
+Each kernel runs via :func:`qavit_tpu.kernels.fused_pallas.run_unit`:
+grid over batch tiles, weights resident in VMEM, custom_vjp backward that
+recomputes the unit inside the kernel (``jax.vjp`` at trace time).  All
+weight preparation (per-head slicing, kron token-mix matrices, CGA group
+routing) happens HERE in XLA via :func:`fused_cores.prep_block` — the
+kernels only see lane-dim-pure tensors (fused_cores design rules).
+Dropout masks are drawn in-kernel from the TPU PRNG, seeded per
+(branch, tile) from the step rng — fwd and recompute-bwd reseed
+identically, so gradients see the same masks.  This replaces the
+reference's out-of-core FlashAttention usage (QAViT.py:26-30,
+QAViTV2_EXTREME.py:570-620) with a whole-block-in-VMEM design.
 """
 
 from __future__ import annotations
 
+import functools
+from typing import Any, Dict, Optional
 
-def fused_quad_block_tpu(p, x, state, dpr, bank_params, bank_cfg, geom,
-                         dtype, train, rng, pmean_axis):
-    from qavit_tpu.kernels.fused_block import fused_quad_block_ref
+import jax
+import jax.numpy as jnp
 
-    return fused_quad_block_ref(p, x, state, dpr, bank_params, bank_cfg,
-                                geom, dtype, train, rng, pmean_axis)
+from qavit_tpu.kernels import fused_cores as C
+from qavit_tpu.kernels import fused_ref as R
+from qavit_tpu.kernels.fused_pallas import run_unit
+
+_TAIL_KEYS = ("norm_swa", "norm_msda", "norm_cga", "norm_cross",
+              "compress_swa", "compress_msda", "compress_cga",
+              "compress_cross", "fusion", "bottleneck_mlp", "norm2",
+              "ccf_ffn")
+
+
+@functools.lru_cache(maxsize=None)
+def make_cores(geom: R.FusedGeom, G: int, dtype_name: str, train: bool):
+    """Unit cores (diff, batch, aux, const, smem, tile_idx) ->
+    (batch_outs, accum_outs) wrapping the fused_cores branch cores."""
+    dtype = jnp.dtype(dtype_name)
+    need_rng = train
+
+    def make_rng(smem, tile_idx, branch_id):
+        if not need_rng or smem is None:
+            return C.NullRng()
+        return C.PallasRng(geom.dropout, smem["dpr"][0],
+                           (smem["seeds"][2 * branch_id],
+                            smem["seeds"][2 * branch_id + 1]), tile_idx)
+
+    # The bank state and write params live in the NON-diff ``const``
+    # group: the bank is a stop-gradient carry (torch buffer written
+    # under no-grad, QAViT.py:183-224), so its cotangent would be
+    # discarded by XLA anyway — and the d_bank path is exactly the
+    # broadcast-reduction chain whose relayouts Mosaic cannot lower.
+
+    def partials(const, normed):
+        if not train:
+            return {}
+        pk, pv = R.bank_write_partial(const["bankp"], normed)
+        return {"pk": pk, "pv": pv}
+
+    def core_swa(diff, batch, aux, const, smem, tile_idx):
+        rng = make_rng(smem, tile_idx, 0)
+        xn = R.layer_norm(batch["x"], diff["norm1"], dtype)
+        out, normed = C.swa_bd(diff["p"], xn, const["bank"], geom, G,
+                               dtype, rng)
+        return {"out": out, "xn": xn}, partials(const, normed)
+
+    def core_msda(diff, batch, aux, const, smem, tile_idx):
+        rng = make_rng(smem, tile_idx, 1)
+        out, normed = C.msda_bd(diff["p"], batch["xn"], const["bank"],
+                                geom, G, dtype, rng)
+        return {"out": out}, partials(const, normed)
+
+    def core_cga(diff, batch, aux, const, smem, tile_idx):
+        rng = make_rng(smem, tile_idx, 2)
+        out, normed = C.cga_bd(diff["p"], batch["xn"],
+                               const["bank"]["k_full"],
+                               const["bank"]["v_full"], geom, G, dtype,
+                               rng)
+        return {"out": out}, partials(const, normed)
+
+    def core_cross_tail(diff, batch, aux, const, smem, tile_idx):
+        rng = make_rng(smem, tile_idx, 3)
+        out_cross = C.cross_bd(diff["p"], batch["xn"], const["bank"],
+                               geom, G, dtype, rng)
+        y = C.tail_bd(diff["tail"], batch["x"],
+                      (batch["swa"], batch["msda"], batch["cga"],
+                       out_cross), geom, dtype, rng)
+        return {"y": y}, {}
+
+    return {"swa": core_swa, "msda": core_msda, "cga": core_cga,
+            "cross_tail": core_cross_tail}
+
+
+def _pick_tiles(b: int, target: int = 64) -> int:
+    t = max(1, b // target)
+    while b % t:
+        t -= 1
+    return t
+
+
+# per-kernel batch-tile targets: the CGA sweep holds [bt, kv, n, gh] f32
+# score/mask tensors (plus their recompute cotangents in the bwd), so it
+# runs at half the tile of the matmul-dominated kernels
+_TILE_TARGETS = {"swa": 64, "msda": 64, "cga": 32, "cross_tail": 64}
+
+
+def _bank_heads(state, geom):
+    """Raw bank rows pre-split per head (XLA-side lane surgery)."""
+    h, d = geom.heads, geom.d
+    s = geom.bank_s
+
+    def split(arr):
+        return arr[0].reshape(s, h, d).transpose(1, 0, 2)
+
+    return {"k_heads": split(state.k), "v_heads": split(state.v)}
+
+
+def _bank_full(state):
+    return {"k_full": state.k[0], "v_full": state.v[0]}
+
+
+def fused_quad_block_tpu(p: Dict[str, Any], x, state, dpr, bank_params,
+                         bank_cfg, geom, dtype, train: bool,
+                         rng: Optional[jax.Array], pmean_axis,
+                         interpret: bool = False):
+    from qavit_tpu.kernels.fused_block import finish_bank_update
+
+    b = x.shape[0]
+    tiles = {k: _pick_tiles(b, t) for k, t in _TILE_TARGETS.items()}
+    # one G for all kernels (prep is shared): group of the smallest tile
+    G = C.pick_group(min(b // t for t in tiles.values()))
+    prep = C.prep_block(p, geom, G)
+    cores = make_cores(geom, G, jnp.dtype(dtype).name, train)
+    key = (geom, G, jnp.dtype(dtype).name, train)
+
+    smem = None
+    if train and rng is not None:
+        seeds = jax.vmap(
+            lambda i: jax.random.key_data(jax.random.fold_in(rng, i))
+        )(jnp.arange(4)).reshape(8)
+        smem = {"seeds": jax.lax.bitcast_convert_type(seeds, jnp.int32),
+                "dpr": jnp.asarray(dpr, jnp.float32).reshape(1)}
+
+    def finish(state, accum):
+        if not train:
+            return state
+        return finish_bank_update(bank_cfg, state, accum["pk"],
+                                  accum["pv"], b, pmean_axis)
+
+    bankp = {"bankp": bank_params} if train else {}
+
+    def bank_const(bank):
+        # stop_gradient belt-and-braces: const is non-diff by contract
+        return jax.lax.stop_gradient({"bank": bank, **bankp})
+
+    bo, ao = run_unit(
+        cores["swa"], ("swa", tiles["swa"]) + key,
+        {"p": prep["swa"], "norm1": prep["norm1"]},
+        {"x": x}, {}, bank_const(_bank_heads(state, geom)),
+        smem=smem, tiles=tiles["swa"], interpret=interpret)
+    out_swa, xn = bo["out"], bo["xn"]
+    state = finish(state, ao)
+
+    bo, ao = run_unit(
+        cores["msda"], ("msda", tiles["msda"]) + key,
+        {"p": prep["msda"]},
+        {"xn": xn}, {}, bank_const(_bank_heads(state, geom)),
+        smem=smem, tiles=tiles["msda"], interpret=interpret)
+    out_msda = bo["out"]
+    state = finish(state, ao)
+
+    bo, ao = run_unit(
+        cores["cga"], ("cga", tiles["cga"]) + key,
+        {"p": prep["cga"]},
+        {"xn": xn}, {}, bank_const(_bank_full(state)),
+        smem=smem, tiles=tiles["cga"], interpret=interpret)
+    out_cga = bo["out"]
+    state = finish(state, ao)
+
+    bo, _ = run_unit(
+        cores["cross_tail"], ("cross_tail", tiles["cross_tail"]) + key,
+        {"p": prep["cross"], "tail": prep["tail"]},
+        {"x": x, "xn": xn, "swa": out_swa, "msda": out_msda,
+         "cga": out_cga},
+        {}, jax.lax.stop_gradient({"bank": _bank_full(state)}),
+        smem=smem, tiles=tiles["cross_tail"], interpret=interpret)
+    return bo["y"], state

@@ -112,42 +112,127 @@ def layer_norm(x, p, dtype):
     return y.astype(dtype)
 
 
+def mm(a, b, dtype):
+    """Matmul (contract a's last dim with b's first) with explicit fp32
+    accumulation: Mosaic requires 32-bit matmul accumulators, and XLA's
+    TPU bf16 matmul accumulates in fp32 anyway — numerics unchanged.
+
+    Leading dims are flattened to 2-D first: the weight-grad transpose of
+    a 3-D @ 2-D dot_general contracts TWO dims, which Mosaic's tpu.matmul
+    cannot lower; flattened, every transpose stays a single-contraction
+    matmul."""
+    lead = a.shape[:-1]
+    a2 = a.reshape(-1, a.shape[-1])
+    out = jax.lax.dot_general(a2, b, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out.astype(dtype).reshape(*lead, b.shape[-1])
+
+
 def dense(x, p, dtype):
-    y = x.astype(dtype) @ p["kernel"].astype(dtype)
+    y = mm(x.astype(dtype), p["kernel"].astype(dtype), dtype)
     return y + p["bias"].astype(dtype)
 
 
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7): Mosaic
+    implements neither erf nor erfc, so the exact-GELU path needs a
+    polynomial built from lowerable ops (exp, fma)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+    """Exact (erf) GELU — matches flax nn.gelu(approximate=False) (and
+    torch nn.GELU) to ~1e-7 absolute; jax.nn.gelu lowers through erfc,
+    which Mosaic does not implement."""
+    xf = x.astype(jnp.float32)
+    y = 0.5 * xf * (1.0 + _erf(xf * jnp.float32(0.7071067811865476)))
+    return y.astype(x.dtype)
 
 
-def dropout(x, rate: float, rng, train: bool):
-    if not train or rate <= 0.0 or rng is None:
+def dropout(x, rate: float, mask):
+    """Inverted dropout from a precomputed bool keep-mask (built by
+    :func:`make_block_masks` — shared by the jnp twins and the Pallas
+    kernels so both paths are bit-identical given one rng)."""
+    if mask is None or rate <= 0.0:
         return x
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+    return jnp.where(mask, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
-def drop_path(x, rate, rng, train: bool):
+def drop_path(x, mask):
+    """Stochastic depth from a PRESCALED float mask (0 or 1/keep_prob,
+    [B, 1, 1]) so the traced rate never enters the kernels."""
+    if mask is None:
+        return x
+    # mask stays fp32: Mosaic cannot squeeze bf16 size-1 arrays to
+    # scalars; the product is rounded back to x.dtype
+    return (x * mask).astype(x.dtype)
+
+
+def make_block_masks(rng, b: int, g: "FusedGeom", dpr, train: bool):
+    """Build every dropout / drop-path keep-mask for one block forward.
+
+    Mask generation stays OUTSIDE the fused kernels (plain jax.random in
+    XLA): bool masks are cheap to stream and keep the Pallas path exactly
+    equal to the jnp-twin path under the same rng."""
     if not train or rng is None:
-        return x
-    keep_prob = 1.0 - jnp.asarray(rate, jnp.float32)
-    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-    mask = jax.random.bernoulli(rng, keep_prob, shape)
-    return jnp.where(mask, x / keep_prob.astype(x.dtype), 0.0).astype(
-        x.dtype)
+        return {k: None for k in _MASK_KEYS}
+    r = jax.random.split(rng, 14)
+    keep = 1.0 - g.dropout
+    n, c, h, gg = g.n, g.c, g.heads, g.groups
+
+    def bern(key, shape, p=keep):
+        return jax.random.bernoulli(key, p, shape)
+
+    kv = g.lin_k + g.bank_s
+    masks = {
+        "swa_attn": bern(r[0], (b, h, n, kv)),
+        "swa_proj": bern(r[1], (b, n, c)),
+        "msda_attn": bern(r[2], (b, h, n, kv)),
+        "msda_proj": bern(r[3], (b, n, c)),
+        "cga_attn": bern(r[4], (b * gg, h, n, n + g.bank_s)),
+        "cga_proj": bern(r[5], (b, n, c)),
+        "cross_attn": bern(r[6], (b, h, n, g.bank_s)),
+        "cross_proj": bern(r[7], (b, n, c)),
+        "bn1": bern(r[8], (b, n, g.bottleneck_hidden)),
+        "bn2": bern(r[9], (b, n, c)),
+        "dp1": _dp_mask(r[10], b, dpr),
+        "ffn": bern(r[11], (b, n, c)),
+        "dp2": _dp_mask(r[12], b, dpr),
+    }
+    if g.dropout <= 0.0:
+        for k in masks:
+            if k not in ("dp1", "dp2"):
+                masks[k] = None
+    return masks
 
 
-def attention_core(q, k, v, *, dropout_rate: float, rng, train: bool,
-                   guard: bool):
+_MASK_KEYS = ("swa_attn", "swa_proj", "msda_attn", "msda_proj", "cga_attn",
+              "cga_proj", "cross_attn", "cross_proj", "bn1", "bn2", "dp1",
+              "ffn", "dp2")
+
+
+def _dp_mask(key, b: int, dpr):
+    """Prescaled drop-path mask: 0 or 1/keep_prob, fp32 [B, 1, 1]."""
+    keep_prob = 1.0 - jnp.asarray(dpr, jnp.float32)
+    keep = jax.random.bernoulli(key, keep_prob, (b, 1, 1))
+    return jnp.where(keep, 1.0 / keep_prob, 0.0)
+
+
+def attention_core(q, k, v, *, dropout_rate: float, mask, guard: bool):
     """xla_attention + NaN guard twin: q/k/v [B, N, H, D] (BNHD)."""
     d = q.shape[-1]
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) / (d ** 0.5)
     probs = jax.nn.softmax(scores, axis=-1)
-    if dropout_rate > 0.0 and train and rng is not None:
-        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    if dropout_rate > 0.0 and mask is not None:
+        probs = jnp.where(mask, probs / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32).astype(q.dtype)
     if not guard:
@@ -182,8 +267,17 @@ def bank_write_partial(bank_params: Dict[str, Any], normed) -> Tuple[
                   + p["write_compression_bias"])
     weights = jax.nn.softmax(
         t_norm @ p["write_gate_kernel"] + p["write_gate_bias"], axis=1)
-    part_k = jnp.einsum("bnm,bnc->mc", weights, compressed)
-    part_v = jnp.einsum("bnm,bnc->mc", weights, t_norm)
+    # einsum "bnm,bnc->mc" as a 2D transposed matmul (Mosaic supports
+    # only single contracting dims)
+    slots = weights.shape[-1]
+    w2 = weights.reshape(-1, slots)
+    dims = (((0,), (0,)), ((), ()))
+    part_k = jax.lax.dot_general(
+        w2, compressed.reshape(-1, compressed.shape[-1]), dims,
+        preferred_element_type=jnp.float32)
+    part_v = jax.lax.dot_general(
+        w2, t_norm.reshape(-1, t_norm.shape[-1]), dims,
+        preferred_element_type=jnp.float32)
     return part_k, part_v
 
 
@@ -204,8 +298,8 @@ def tl_norm1_ref(p_tl, p_norm1, x, g: FusedGeom, dtype):
     return xc, xn
 
 
-def swa_ref(p, xn, bank_k, bank_v, g: FusedGeom, dtype, *, train=False,
-            rngs=(None, None)):
+def swa_ref(p, xn, bank_k, bank_v, g: FusedGeom, dtype, *,
+            masks=(None, None)):
     """Single-window SWA branch (QAViT.py:297-363 at n == ws^2).
 
     bank_k/bank_v: [1, S, C] fp32 state values.  Returns (out, normed).
@@ -215,57 +309,76 @@ def swa_ref(p, xn, bank_k, bank_v, g: FusedGeom, dtype, *, train=False,
     q, k, v = (split_heads(t, g.heads) for t in jnp.split(qkv, 3, axis=-1))
     e_k = p["linformer"]["E_k"].astype(dtype)
     e_v = p["linformer"]["E_v"].astype(dtype)
-    k_c = jnp.einsum("nm,bnhd->bmhd", e_k, k)
-    v_c = jnp.einsum("nm,bnhd->bmhd", e_v, v)
+    k_c = jnp.einsum("nm,bnhd->bmhd", e_k, k,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    v_c = jnp.einsum("nm,bnhd->bmhd", e_v, v,
+                     preferred_element_type=jnp.float32).astype(dtype)
     kb = jnp.broadcast_to(bank_k, (b,) + bank_k.shape[1:]).astype(dtype)
     vb = jnp.broadcast_to(bank_v, (b,) + bank_v.shape[1:]).astype(dtype)
     k_full = jnp.concatenate([k_c, split_heads(kb, g.heads)], axis=1)
     v_full = jnp.concatenate([v_c, split_heads(vb, g.heads)], axis=1)
     out = attention_core(q, k_full, v_full, dropout_rate=g.dropout,
-                         rng=rngs[0], train=train, guard=g.guard_nans)
+                         mask=masks[0], guard=g.guard_nans)
     out = dense(merge_heads(out), p["proj"], dtype)
-    out = dropout(out, g.dropout, rngs[1], train)
+    out = dropout(out, g.dropout, masks[1])
     normed = layer_norm(out, p["norm"], dtype)
     return out, normed
 
 
-def msda_ref(p, xn, bank_k, bank_v, g: FusedGeom, dtype, *, train=False,
-             rngs=(None, None)):
-    """MSDA branch (QAViT.py:366-426): dilated gather + landmark pooling +
-    linformer on the REAL pooled rows (zero-padding contributes nothing)."""
+def msda_mix_matrix(g: FusedGeom):
+    """Dilated gather + landmark average-pooling (QAViT.py:383-395) as one
+    constant token-mixing matrix [msda_keep, n]: row i averages the
+    gathered tokens idx[i*s:(i+1)*s].  Shared across the batch, so the
+    whole pipeline becomes a matmul (MXU) instead of a gather."""
+    import numpy as np
+    m = np.zeros((g.msda_keep, g.n), np.float32)
+    s = g.pool_stride
+    for i in range(g.msda_keep):
+        for j in range(s):
+            m[i, g.msda_idx[i * s + j]] += 1.0 / s
+    return m
+
+
+def msda_ref(p, xn, bank_k, bank_v, g: FusedGeom, dtype, *,
+             masks=(None, None), sel=None):
+    """MSDA branch (QAViT.py:366-426): dilated gather + landmark pooling
+    (as the shared mixing matmul above) + linformer on the REAL pooled
+    rows (zero-padding contributes nothing)."""
     b = xn.shape[0]
     kernel = p["qkv_kernel"].astype(dtype)
     bias = p["qkv_bias"].astype(dtype)
     c = g.c
-    idx = jnp.asarray(g.msda_idx, jnp.int32)
-    x_multi = jnp.take(xn, idx, axis=1)                     # [B, M*, C]
-    m = x_multi.shape[1]
-    s = g.pool_stride
-    pooled = x_multi[:, : (m // s) * s].reshape(b, m // s, s, c).mean(2)
-    pooled = pooled[:, : g.msda_keep]       # reference pad_len truncation
-    kv = pooled.astype(dtype) @ kernel[:, c:] + bias[c:]
+    if sel is None:
+        sel = jnp.asarray(msda_mix_matrix(g))
+    pooled = jnp.einsum("pn,bnc->bpc", sel.astype(dtype),
+                        xn.astype(dtype),
+                        preferred_element_type=jnp.float32).astype(dtype)
+    kv = mm(pooled, kernel[:, c:], dtype) + bias[c:]
     k, v = (split_heads(t, g.heads) for t in jnp.split(kv, 2, axis=-1))
     # linformer over the padded-to-pad_len axis == contraction with the
     # first msda_keep rows of E (the rest hit zero padding)
     e_k = p["linformer"]["E_k"][: g.msda_keep].astype(dtype)
     e_v = p["linformer"]["E_v"][: g.msda_keep].astype(dtype)
-    k_c = jnp.einsum("nm,bnhd->bmhd", e_k, k)
-    v_c = jnp.einsum("nm,bnhd->bmhd", e_v, v)
+    k_c = jnp.einsum("nm,bnhd->bmhd", e_k, k,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    v_c = jnp.einsum("nm,bnhd->bmhd", e_v, v,
+                     preferred_element_type=jnp.float32).astype(dtype)
     kb = jnp.broadcast_to(bank_k, (b,) + bank_k.shape[1:]).astype(dtype)
     vb = jnp.broadcast_to(bank_v, (b,) + bank_v.shape[1:]).astype(dtype)
     k_full = jnp.concatenate([k_c, split_heads(kb, g.heads)], axis=1)
     v_full = jnp.concatenate([v_c, split_heads(vb, g.heads)], axis=1)
-    q = split_heads(xn.astype(dtype) @ kernel[:, :c] + bias[:c], g.heads)
+    q = split_heads(mm(xn.astype(dtype), kernel[:, :c], dtype)
+                    + bias[:c], g.heads)
     out = attention_core(q, k_full, v_full, dropout_rate=g.dropout,
-                         rng=rngs[0], train=train, guard=g.guard_nans)
+                         mask=masks[0], guard=g.guard_nans)
     out = dense(merge_heads(out), p["proj"], dtype)
-    out = dropout(out, g.dropout, rngs[1], train)
+    out = dropout(out, g.dropout, masks[1])
     normed = layer_norm(out, p["norm"], dtype)
     return out, normed
 
 
-def cga_ref(p, xn, bank_k, bank_v, g: FusedGeom, dtype, *, train=False,
-            rngs=(None, None)):
+def cga_ref(p, xn, bank_k, bank_v, g: FusedGeom, dtype, *,
+            masks=(None, None)):
     """CGA branch (QAViT.py:429-489)."""
     b, n, c = xn.shape
     gg, cpg, cperg = g.groups, g.c // g.groups, g.cperg
@@ -286,17 +399,17 @@ def cga_ref(p, xn, bank_k, bank_v, g: FusedGeom, dtype, *, train=False,
     k_full = jnp.concatenate([k, split_heads(kbp, g.heads)], axis=1)
     v_full = jnp.concatenate([v, split_heads(vbp, g.heads)], axis=1)
     out = attention_core(q, k_full, v_full, dropout_rate=g.dropout,
-                         rng=rngs[0], train=train, guard=g.guard_nans)
+                         mask=masks[0], guard=g.guard_nans)
     out = merge_heads(out).reshape(b, gg, n, cperg).transpose(
         0, 2, 1, 3).reshape(b, n, gg * cperg)
     out = dense(out, p["proj"], dtype)
-    out = dropout(out, g.dropout, rngs[1], train)
+    out = dropout(out, g.dropout, masks[1])
     normed = layer_norm(out, p["norm"], dtype)
     return out, normed
 
 
-def cross_ref(p, xn, bank_k, bank_v, g: FusedGeom, dtype, *, train=False,
-              rngs=(None, None)):
+def cross_ref(p, xn, bank_k, bank_v, g: FusedGeom, dtype, *,
+              masks=(None, None)):
     """Cross-attention branch (QAViT.py:492-520) — no bank write."""
     b = xn.shape[0]
     q = split_heads(dense(xn, p["q_proj"], dtype), g.heads)
@@ -304,44 +417,63 @@ def cross_ref(p, xn, bank_k, bank_v, g: FusedGeom, dtype, *, train=False,
     vb = jnp.broadcast_to(bank_v, (b,) + bank_v.shape[1:]).astype(dtype)
     k = split_heads(dense(kb, p["k_proj"], dtype), g.heads)
     v = split_heads(dense(vb, p["v_proj"], dtype), g.heads)
-    out = attention_core(q, k, v, dropout_rate=g.dropout, rng=rngs[0],
-                         train=train, guard=g.guard_nans)
+    out = attention_core(q, k, v, dropout_rate=g.dropout, mask=masks[0],
+                         guard=g.guard_nans)
     out = dense(merge_heads(out), p["proj"], dtype)
-    out = dropout(out, g.dropout, rngs[1], train)
+    out = dropout(out, g.dropout, masks[1])
     return out
 
 
 def dwconv3x3_ref(x, kernel, hw: Tuple[int, int], dtype):
-    """Depthwise 3x3 'SAME' conv over a [B, N, C] token grid.
+    """Depthwise 3x3 'SAME' conv over a [B, N, C] token grid as 9
+    shifted FMAs (``lax.conv`` does not lower inside Pallas kernels;
+    on a 4x4 grid the taps are cheaper than a conv launch anyway).
 
-    kernel: [3, 3, 1, C] (flax grouped-conv layout)."""
+    kernel: [3, 3, 1, C] (flax grouped-conv layout, correlation).
+
+    The zero halo is built with concats, not ``jnp.pad``: JAX transposes
+    pad as a NEGATIVE-config pad, which Mosaic cannot lower — concat
+    transposes to slices (and slice transposes to positive pads), both
+    supported.  The taps run in f32 — matching XLA's TPU conv (bf16 in,
+    f32 accumulate, one rounding at the end) and keeping the 4-D
+    reshapes 32-bit (Mosaic rejects sublane-splitting shape casts on
+    bf16)."""
     b, n, c = x.shape
     h, w = hw
-    y = x.reshape(b, h, w, c).astype(dtype)
-    return jax.lax.conv_general_dilated(
-        y, kernel.astype(dtype), window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c).reshape(b, n, c)
+    y = x.reshape(b, h, w, c).astype(jnp.float32)
+    k = kernel.reshape(3, 3, c).astype(jnp.float32)
+    zr = jnp.zeros((b, 1, w, c), y.dtype)
+    yp = jnp.concatenate([zr, y, zr], axis=1)
+    zc = jnp.zeros((b, h + 2, 1, c), y.dtype)
+    yp = jnp.concatenate([zc, yp, zc], axis=2)
+    out = jnp.zeros_like(y)
+    for ki in range(3):
+        for kj in range(3):
+            out = out + yp[:, ki:ki + h, kj:kj + w, :] * k[ki, kj]
+    return out.reshape(b, n, c).astype(dtype)
 
 
-def tail_ref(p, xc, outs, dpr, g: FusedGeom, dtype, *, train=False,
-             rngs=(None,) * 6):
+def tail_ref(p, xc, outs, g: FusedGeom, dtype, *,
+             masks=(None,) * 5):
     """Per-branch LN+compress -> fusion -> bottleneck -> residual ->
-    norm2 -> CCF-FFN -> residual (QAViT.py:588-636 tail)."""
+    norm2 -> CCF-FFN -> residual (QAViT.py:588-636 tail).
+
+    ``masks`` = (bn1, bn2, dp1, ffn, dp2) keep-masks."""
     compressed = []
     for name, out in zip(("swa", "msda", "cga", "cross"), outs):
         o = layer_norm(out, p[f"norm_{name}"], dtype)
         compressed.append(dense(o, p[f"compress_{name}"], dtype))
     w = jax.nn.softmax(p["fusion"]["fusion_weights"].astype(jnp.float32))
+    # w[i] stays an fp32 scalar (bf16 scalar squeezes don't lower)
     fused = jnp.concatenate(
-        [o * w[i].astype(o.dtype) for i, o in enumerate(compressed)],
+        [(o * w[i]).astype(o.dtype) for i, o in enumerate(compressed)],
         axis=-1)
     y = dense(fused, p["bottleneck_mlp"]["fc1"], dtype)
     y = gelu(y)
-    y = dropout(y, g.dropout, rngs[0], train)
+    y = dropout(y, g.dropout, masks[0])
     y = dense(y, p["bottleneck_mlp"]["fc2"], dtype)
-    y = dropout(y, g.dropout, rngs[1], train)
-    x = xc + drop_path(y, dpr, rngs[2], train)
+    y = dropout(y, g.dropout, masks[1])
+    x = xc + drop_path(y, masks[2])
 
     ffn_in = layer_norm(x, p["norm2"], dtype)
     f = p["ccf_ffn"]
@@ -359,10 +491,10 @@ def tail_ref(p, xc, outs, dpr, g: FusedGeom, dtype, *, train=False,
     if g.stabilized_ccfffn:
         y = layer_norm(y, f["post_dwconv_norm"], dtype)
     y = dense(y, f["fc2"], dtype)
-    y = dropout(y, g.dropout, rngs[3], train)
+    y = dropout(y, g.dropout, masks[3])
     if g.stabilized_ccfffn:
-        y = y * f["gamma"].astype(y.dtype)
-    return x + drop_path(y, dpr, rngs[4], train)
+        y = (y * f["gamma"].astype(jnp.float32)).astype(y.dtype)
+    return x + drop_path(y, masks[4])
 
 
 def upmix_ref(p, y, g: FusedGeom, dtype):

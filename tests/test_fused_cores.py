@@ -1,0 +1,247 @@
+"""Mosaic-lowerable cores (kernels/fused_cores.py) and the Pallas unit
+runner (kernels/fused_pallas.py): parity vs the jnp twins and end-to-end
+interpret-mode execution of the real kernels on CPU (VERDICT r1 #2/#3 —
+the fused-block kernel must be exercised in CI)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qavit_tpu.configs import get_preset
+from qavit_tpu.kernels import fused_cores as C
+from qavit_tpu.kernels import fused_ref as R
+from qavit_tpu.kernels.fused_ref import make_geom
+
+
+@pytest.fixture(scope="module")
+def flagship_geom():
+    return make_geom(get_preset("hqavit_c100").model)
+
+
+def _dense_p(key, fin, fout):
+    k1, k2 = jax.random.split(key)
+    return {"kernel": jax.random.normal(k1, (fin, fout)) * 0.05,
+            "bias": jax.random.normal(k2, (fout,)) * 0.01}
+
+
+def _ln_p(key, f):
+    return {"scale": 1 + 0.1 * jax.random.normal(key, (f,)),
+            "bias": 0.01 * jax.random.normal(key, (f,))}
+
+
+@pytest.fixture(scope="module")
+def block_params(flagship_geom):
+    """Full explicit block param tree at flagship geometry + inputs."""
+    g = flagship_geom
+    c = g.c
+    cfg = get_preset("hqavit_c100").model
+    ks = iter(jax.random.split(jax.random.PRNGKey(0), 64))
+    nrm = jax.random.normal
+    p = {
+        "norm1": _ln_p(next(ks), c),
+        "swa": {"qkv": _dense_p(next(ks), c, 3 * c),
+                "proj": _dense_p(next(ks), c, c),
+                "norm": _ln_p(next(ks), c),
+                "linformer": {
+                    "E_k": 0.02 * nrm(next(ks), (g.n, g.lin_k)),
+                    "E_v": 0.02 * nrm(next(ks), (g.n, g.lin_k))}},
+        "msda": {"qkv_kernel": 0.05 * nrm(next(ks), (c, 3 * c)),
+                 "qkv_bias": 0.01 * nrm(next(ks), (3 * c,)),
+                 "proj": _dense_p(next(ks), c, c),
+                 "norm": _ln_p(next(ks), c),
+                 "linformer": {
+                     "E_k": 0.02 * nrm(next(ks),
+                                       (cfg.msda_pad_len, g.lin_k)),
+                     "E_v": 0.02 * nrm(next(ks),
+                                       (cfg.msda_pad_len, g.lin_k))}},
+        "cga": {"q_proj": _dense_p(next(ks), c // g.groups, g.cperg),
+                "k_proj": _dense_p(next(ks), c // g.groups, g.cperg),
+                "v_proj": _dense_p(next(ks), c // g.groups, g.cperg),
+                "bank_k_proj": _dense_p(next(ks), c, g.cperg),
+                "bank_v_proj": _dense_p(next(ks), c, g.cperg),
+                "proj": _dense_p(next(ks), c // 2, c),
+                "norm": _ln_p(next(ks), c)},
+        "cross_attn": {"q_proj": _dense_p(next(ks), c, c),
+                       "k_proj": _dense_p(next(ks), c, c),
+                       "v_proj": _dense_p(next(ks), c, c),
+                       "proj": _dense_p(next(ks), c, c)},
+        "fusion": {"fusion_weights": jnp.ones((4,))},
+        "bottleneck_mlp": {
+            "fc1": _dense_p(next(ks), 4 * g.d_c, g.bottleneck_hidden),
+            "fc2": _dense_p(next(ks), g.bottleneck_hidden, c)},
+        "norm2": _ln_p(next(ks), c),
+        "ccf_ffn": {
+            "fc1": _dense_p(next(ks), c, g.ccf_hidden),
+            "dwconv_norm": _ln_p(next(ks), g.ccf_hidden),
+            "dwconv": {"dwconv": {"kernel": 0.05 * nrm(
+                next(ks), (3, 3, 1, g.ccf_hidden))},
+                "scale": 0.1 * jnp.ones((g.ccf_hidden,))},
+            "post_dwconv_norm": _ln_p(next(ks), g.ccf_hidden),
+            "fc2": _dense_p(next(ks), g.ccf_hidden, c),
+            "gamma": 0.1 * jnp.ones((1,))},
+    }
+    for name in ("swa", "msda", "cga", "cross"):
+        p[f"norm_{name}"] = _ln_p(next(ks), c)
+        p[f"compress_{name}"] = _dense_p(next(ks), c, g.d_c)
+    return {
+        "p": p,
+        "xn": nrm(next(ks), (16, g.n, c)),
+        "bank_k": nrm(next(ks), (1, g.bank_s, c)),
+        "bank_v": nrm(next(ks), (1, g.bank_s, c)),
+    }
+
+
+def _bank_heads(bp, g):
+    def split(arr):
+        return arr[0].reshape(g.bank_s, g.heads, g.d).transpose(1, 0, 2)
+    return {"k_heads": split(bp["bank_k"]), "v_heads": split(bp["bank_v"])}
+
+
+def _bank_full(bp):
+    return {"k_full": bp["bank_k"][0], "v_full": bp["bank_v"][0]}
+
+
+def _run_bd(branch, prep, bp, g, G, rng):
+    if branch == "swa":
+        return C.swa_bd(prep["swa"], bp["xn"], _bank_heads(bp, g), g, G,
+                        jnp.float32, rng)
+    if branch == "msda":
+        return C.msda_bd(prep["msda"], bp["xn"], _bank_heads(bp, g), g,
+                         G, jnp.float32, rng)
+    if branch == "cga":
+        return C.cga_bd(prep["cga"], bp["xn"], bp["bank_k"][0],
+                        bp["bank_v"][0], g, G, jnp.float32, rng)
+    return C.cross_bd(prep["cross"], bp["xn"], _bank_full(bp), g, G,
+                      jnp.float32, rng)
+
+
+def _run_ref(branch, bp, g, masks=(None, None)):
+    refs = {"swa": R.swa_ref, "msda": R.msda_ref, "cga": R.cga_ref,
+            "cross": R.cross_ref}
+    key = {"cross": "cross_attn"}.get(branch, branch)
+    return refs[branch](bp["p"][key], bp["xn"], bp["bank_k"],
+                        bp["bank_v"], g, jnp.float32, masks=masks)
+
+
+@pytest.mark.parametrize("branch", ["swa", "msda", "cga", "cross"])
+def test_bd_core_matches_ref_flagship(flagship_geom, block_params,
+                                      branch):
+    """Prepped-weight block-diagonal rewrite == jnp twin at flagship
+    geometry (the -inf off-diagonal blocks softmax to exact zeros)."""
+    g = flagship_geom
+    G = C.pick_group(16)
+    prep = C.prep_block(block_params["p"], g, G)
+    r = _run_ref(branch, block_params, g)
+    b = _run_bd(branch, prep, block_params, g, G, C.NullRng())
+    for got, want in zip(jax.tree_util.tree_leaves(b),
+                         jax.tree_util.tree_leaves(r)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_tail_bd_matches_ref(flagship_geom, block_params):
+    g = flagship_geom
+    bp = block_params
+    prep = C.prep_block(bp["p"], g, C.pick_group(16))
+    outs = tuple(jax.random.normal(jax.random.PRNGKey(50 + i),
+                                   (16, g.n, g.c)) for i in range(4))
+    xc = jax.random.normal(jax.random.PRNGKey(60), (16, g.n, g.c))
+    want = R.tail_ref(bp["p"], xc, outs, g, jnp.float32)
+    got = C.tail_bd(prep["tail"], xc, outs, g, jnp.float32, C.NullRng())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bd_core_matches_ref_with_dropout(flagship_geom, block_params):
+    """The HostRng provider threads the twin's mask realizations through
+    the block-diagonal layout (off-diagonal mask values are no-ops on
+    exact-zero probs)."""
+    g = flagship_geom
+    bp = block_params
+    G = C.pick_group(16)
+    prep = C.prep_block(bp["p"], g, G)
+    masks = R.make_block_masks(jax.random.PRNGKey(3), 16, g, 0.1, True)
+    rng = C.HostRng(masks, g, G)
+    for branch, mk in [("swa", ("swa_attn", "swa_proj")),
+                       ("cga", ("cga_attn", "cga_proj"))]:
+        r = _run_ref(branch, bp, g, masks=(masks[mk[0]], masks[mk[1]]))
+        b = _run_bd(branch, prep, bp, g, G, rng)
+        np.testing.assert_allclose(np.asarray(b[0]), np.asarray(r[0]),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_dwconv_shift_matches_lax_conv(rng):
+    """9-tap shift dwconv == lax.conv_general_dilated (SAME, depthwise)."""
+    b, h, w, c = 3, 4, 4, 24
+    x = jax.random.normal(rng, (b, h * w, c))
+    kernel = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 1, c))
+    got = R.dwconv3x3_ref(x, kernel, (h, w), jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x.reshape(b, h, w, c), kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c).reshape(b, h * w, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_interpret_full_model(tiny_cfg, rng):
+    """The REAL Pallas kernels (TPU-semantics interpret mode on CPU):
+    eval forward, train forward incl. bank evolution, and a gradient —
+    all against the flax reference path.  Dropout/drop-path are 0: the
+    kernels draw masks from the in-kernel TPU PRNG, so realizations
+    cannot match the host-rng twin (rates > 0 are covered on real TPU
+    and by the HostRng parity tests above)."""
+    import qavit_tpu.kernels.fused_block as FB
+    from qavit_tpu.nn import build_model, init_model
+
+    cfg_ref = tiny_cfg.replace(dtype="float32", dropout=0.0,
+                               drop_path=0.0)
+    cfg_fused = cfg_ref.replace(attn_impl="fused_block")
+    _, variables = init_model(cfg_ref, jax.random.PRNGKey(0))
+    x = jax.random.normal(rng, (4, 16, 16, 3))
+
+    def run(cfg, force, train):
+        model = build_model(cfg)
+        FB.FORCE_PALLAS_INTERPRET = force
+        try:
+            if train:
+                out, _ = model.apply(variables, x,
+                                     rngs={"dropout": rng},
+                                     mutable=["batch_stats"],
+                                     train=True, bank_count=0)
+                return out
+            return model.apply(variables, x, train=False, bank_count=0)
+        finally:
+            FB.FORCE_PALLAS_INTERPRET = False
+
+    le_ref, _ = run(cfg_fused, False, False)
+    le_pal, _ = run(cfg_fused, True, False)
+    np.testing.assert_allclose(np.asarray(le_pal), np.asarray(le_ref),
+                               rtol=2e-4, atol=2e-5)
+
+    lt_ref, b_ref = run(cfg_fused, False, True)
+    lt_pal, b_pal = run(cfg_fused, True, True)
+    np.testing.assert_allclose(np.asarray(lt_pal), np.asarray(lt_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(b_pal.k), np.asarray(b_ref.k),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(params, force):
+        model = build_model(cfg_fused)
+        FB.FORCE_PALLAS_INTERPRET = force
+        try:
+            out, _ = model.apply(dict(variables, params=params), x,
+                                 rngs={"dropout": rng},
+                                 mutable=["batch_stats"],
+                                 train=True, bank_count=0)
+        finally:
+            FB.FORCE_PALLAS_INTERPRET = False
+        return jnp.sum(out[0] ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(variables["params"])
+    g_pal = jax.grad(lambda p: loss(p, True))(variables["params"])
+    for got, want in zip(jax.tree_util.tree_leaves(g_pal),
+                         jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-3, atol=5e-4)
