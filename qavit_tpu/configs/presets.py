@@ -132,6 +132,16 @@ def _hqavit_tiny_cifar10() -> Preset:
     return Preset(model, train, "cifar10")
 
 
+def _hqavit_tiny_proc10() -> Preset:
+    """proc10 transfer: the no-egress stand-in for the CIFAR-10 transfer
+    recipe (HQAViT_Tiny_Cifar10.py) — head swap to 10 classes,
+    differential LR, cosine schedule, finetuned from a proc100
+    checkpoint via --init-from."""
+    p = _hqavit_tiny_cifar10()
+    return Preset(p.model.replace(name="hqavit_tiny_proc10"), p.train,
+                  "proc10")
+
+
 def _hqavit_tiny_stl10() -> Preset:
     """STL-10 transfer @96 (HQAViT_Tiny_stl10.py): pos-embed resize 8->24,
     10 classes, differential LR.  Note the reference keeps TokenUpMix at the
@@ -180,6 +190,7 @@ PRESETS = {
     "hqavit_tiny_in": _hqavit_tiny_in,
     "hqavit_c100_finetune": _hqavit_c100_finetune,
     "hqavit_tiny_cifar10": _hqavit_tiny_cifar10,
+    "hqavit_tiny_proc10": _hqavit_tiny_proc10,
     "hqavit_tiny_stl10": _hqavit_tiny_stl10,
     "simclr_stl10": _simclr_stl10,
 }

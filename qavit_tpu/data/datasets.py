@@ -35,6 +35,7 @@ STATS = {
     "tiny_imagenet": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
     # procedurally generated fallback dataset (see qavit_tpu/data/procgen.py)
     "proc100": ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25)),
+    "proc10": ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25)),
 }
 
 
@@ -174,10 +175,17 @@ def _load_proc100(root: str) -> Dataset:
     return Dataset("proc100", tr_x, tr_y, te_x, te_y, 100)
 
 
+def _load_proc10(root: str) -> Dataset:
+    from qavit_tpu.data.procgen import load_or_generate_proc10
+
+    tr_x, tr_y, te_x, te_y = load_or_generate_proc10(root)
+    return Dataset("proc10", tr_x, tr_y, te_x, te_y, 10)
+
+
 def load_dataset(name: str, data_root: str = "./data",
                  allow_synthetic: bool = True) -> Dataset:
     """Load a dataset by base name ('cifar10', 'cifar100', 'stl10',
-    'stl10_unlabeled', 'tiny_imagenet', 'proc100')."""
+    'stl10_unlabeled', 'tiny_imagenet', 'proc100', 'proc10')."""
     loaders = {
         "cifar10": lambda: _load_cifar(data_root, 10),
         "cifar100": lambda: _load_cifar(data_root, 100),
@@ -185,10 +193,12 @@ def load_dataset(name: str, data_root: str = "./data",
         "stl10_unlabeled": lambda: _load_stl10(data_root, "unlabeled"),
         "tiny_imagenet": lambda: _load_tiny_imagenet(data_root),
         "proc100": lambda: _load_proc100(data_root),
+        "proc10": lambda: _load_proc10(data_root),
     }
     sizes = {"cifar10": (32, 10), "cifar100": (32, 100),
              "stl10": (96, 10), "stl10_unlabeled": (96, 10),
-             "tiny_imagenet": (64, 200), "proc100": (32, 100)}
+             "tiny_imagenet": (64, 200), "proc100": (32, 100),
+             "proc10": (32, 10)}
     if name not in loaders:
         raise KeyError(f"unknown dataset {name!r}")
     ds = loaders[name]()

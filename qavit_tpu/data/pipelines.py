@@ -59,6 +59,12 @@ PIPELINES = {
                            rotation_deg=15.0,
                            jitter=(0.4, 0.4, 0.4, 0.1), jitter_prob=1.0,
                            randaug_ops=2, randaug_magnitude=6),
+    # proc10 transfer target under the CIFAR-10 transfer aug knobs
+    # (HQAViT_Tiny_Cifar10.py:261-324)
+    "proc10": _spec("proc10", "proc10", crop_pad=4, rotation_deg=15.0,
+                    jitter=(0.4, 0.4, 0.4, 0.1), jitter_prob=1.0,
+                    randaug_ops=2, randaug_magnitude=11,
+                    erasing_prob=0.3),
     # procedural fallback dataset under the flagship HQA aug pipeline
     # (same knobs as cifar100_hqa; see qavit_tpu/data/procgen.py)
     "proc100_hqa": _spec("proc100", "proc100", crop_pad=4,

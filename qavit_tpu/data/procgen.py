@@ -84,17 +84,34 @@ def generate_proc100(n: int, seed: int, img_size: int = 32,
     return images, labels
 
 
-def load_or_generate_proc100(data_root: str, n_train: int = 50000,
-                             n_test: int = 10000):
-    """Generate proc100 once and cache it under ``data_root``."""
-    cache = Path(data_root) / "proc100.npz"
+def _load_or_generate(data_root: str, name: str, num_classes: int,
+                      n_train: int, n_test: int):
+    cache = Path(data_root) / f"{name}.npz"
     if cache.exists():
         z = np.load(cache)
         return (z["train_images"], z["train_labels"],
                 z["test_images"], z["test_labels"])
-    tr_x, tr_y = generate_proc100(n_train, seed=0)
-    te_x, te_y = generate_proc100(n_test, seed=1)
+    tr_x, tr_y = generate_proc100(n_train, seed=0,
+                                  num_classes=num_classes)
+    te_x, te_y = generate_proc100(n_test, seed=1,
+                                  num_classes=num_classes)
     os.makedirs(data_root, exist_ok=True)
     np.savez_compressed(cache, train_images=tr_x, train_labels=tr_y,
                         test_images=te_x, test_labels=te_y)
     return tr_x, tr_y, te_x, te_y
+
+
+def load_or_generate_proc100(data_root: str, n_train: int = 50000,
+                             n_test: int = 10000):
+    """Generate proc100 once and cache it under ``data_root``."""
+    return _load_or_generate(data_root, "proc100", 100, n_train, n_test)
+
+
+def load_or_generate_proc10(data_root: str, n_train: int = 10000,
+                            n_test: int = 2000):
+    """proc10: the 10-class variant (classes 0-9 of the same generative
+    process — f_y fixed at 1, so only horizontal frequency + palette
+    discriminate).  The no-egress stand-in for the CIFAR-10 TRANSFER
+    target (HQAViT_Tiny_Cifar10.py): a different, smaller distribution
+    to finetune the proc100-pretrained model on."""
+    return _load_or_generate(data_root, "proc10", 10, n_train, n_test)
