@@ -60,6 +60,36 @@ def use_pallas(q_shape, backend: Optional[str] = None) -> bool:
     return d >= _PALLAS_MIN_HEAD_DIM and n_q >= _PALLAS_MIN_NQ
 
 
+@jax.custom_vjp
+def _pallas_attention(q, k, v):
+    """Deterministic Pallas-forward attention with an XLA-recompute
+    backward: the flash kernel has no native vjp, and without this rule
+    any training graph touching the Pallas path fails to trace.  The
+    backward is mathematically the attention transpose (recompute, no
+    residuals) — it only applies to the DETERMINISTIC path, since XLA
+    cannot replay the kernel's in-kernel dropout masks."""
+    b, n_q, h, d = q.shape
+    n_kv = k.shape[1]
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, n_q, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, n_kv, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, n_kv, d)
+    out = flash_attention(qf, kf, vf)
+    return out.reshape(b, h, n_q, d).transpose(0, 2, 1, 3)
+
+
+def _pallas_attention_fwd(q, k, v):
+    return _pallas_attention(q, k, v), (q, k, v)
+
+
+def _pallas_attention_bwd(res, ct):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: xla_attention(q, k, v), q, k, v)
+    return vjp(ct)
+
+
+_pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
+
+
 def attention(q, k, v, dropout_rate: float = 0.0, deterministic: bool = True,
               rng: Optional[jax.Array] = None, impl: str = "auto"):
     """Unified attention entry point (replaces ``efficient_attention``,
@@ -69,20 +99,23 @@ def attention(q, k, v, dropout_rate: float = 0.0, deterministic: bool = True,
       q: [B, Nq, H, D]; k, v: [B, Nkv, H, D]
       impl: "auto" | "xla" | "pallas"
     """
+    train_dropout = dropout_rate > 0.0 and not deterministic
     if impl == "auto":
-        impl = "pallas" if use_pallas(q.shape) else "xla"
+        # the Pallas fwd pairs with an XLA-recompute bwd that cannot
+        # replay in-kernel dropout masks — train-with-dropout stays XLA
+        impl = ("pallas" if use_pallas(q.shape) and not train_dropout
+                else "xla")
     if impl == "xla":
         return xla_attention(q, k, v, dropout_rate, deterministic, rng)
-
-    b, n_q, h, d = q.shape
-    n_kv = k.shape[1]
-    qf = q.transpose(0, 2, 1, 3).reshape(b * h, n_q, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, n_kv, d)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, n_kv, d)
-    if dropout_rate > 0.0 and not deterministic:
+    if train_dropout:
+        # explicit pallas request with dropout: fwd-only semantics
+        b, n_q, h, d = q.shape
+        n_kv = k.shape[1]
+        qf = q.transpose(0, 2, 1, 3).reshape(b * h, n_q, d)
+        kf = k.transpose(0, 2, 1, 3).reshape(b * h, n_kv, d)
+        vf = v.transpose(0, 2, 1, 3).reshape(b * h, n_kv, d)
         seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1, jnp.int32)
         out = flash_attention(qf, kf, vf, seed=seed,
                               dropout_rate=dropout_rate)
-    else:
-        out = flash_attention(qf, kf, vf)
-    return out.reshape(b, h, n_q, d).transpose(0, 2, 1, 3)
+        return out.reshape(b, h, n_q, d).transpose(0, 2, 1, 3)
+    return _pallas_attention(q, k, v)
