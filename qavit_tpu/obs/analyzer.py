@@ -86,6 +86,40 @@ def analytic_flops(cfg: ModelConfig, batch: int = 1) -> Dict[str, float]:
     return {k_: v * batch for k_, v in f.items()}
 
 
+def memory_breakdown(cfg: ModelConfig, params, batch: int = 128,
+                     act_bytes: int = 2) -> Dict[str, tuple]:
+    """Per-component forward activation / gradient memory estimate in MB
+    (the _print_memory_analysis analogue, QAViTv2.py:204-233), adapted
+    to this stack: activations are bf16 (``act_bytes=2``) and the block
+    stack is REMATERIALISED by default, so only one block's activations
+    are live during the backward — the 'all blocks (remat)' row is the
+    real contribution, the non-remat row is what torch would hold."""
+    mb = 1024 ** 2
+    b = batch
+    n = cfg.num_learned_tokens if (cfg.hybrid and cfg.use_token_learner) \
+        else cfg.num_patches
+    c = cfg.embed_dim
+    img = b * 3 * cfg.img_size ** 2 * 4 / mb
+    patches = b * cfg.num_patches * c * act_bytes / mb
+    # ~4 live token-tensors per block (x, xn, branch outs, ffn hidden)
+    per_block = b * n * c * act_bytes * 4 / mb
+    head = b * cfg.num_classes * 4 / mb
+    out = {
+        "input image": (img, 0.0),
+        "patch embeddings": (patches, patches),
+        "per block": (per_block, per_block),
+        "all blocks (no remat)": (per_block * cfg.depth,
+                                  per_block * cfg.depth),
+        "all blocks (remat, live)": (per_block, per_block),
+        "head": (head, head),
+    }
+    if cfg.hybrid:
+        stem = b * cfg.grid_size ** 2 * (cfg.cnn_c2 + cfg.cnn_c3
+                                         + cfg.cnn_c4) * act_bytes / mb
+        out["cnn stem + lmfa + rrcv"] = (stem, stem)
+    return out
+
+
 def print_analysis(cfg: ModelConfig, params) -> None:
     total = sum(x.size for x in jax.tree.leaves(params))
     print("=" * 70)
@@ -101,6 +135,16 @@ def print_analysis(cfg: ModelConfig, params) -> None:
     for name, v in fl.items():
         if name != "total":
             print(f"  {name:<28} {v / 1e6:>10.1f} M")
+    mem = memory_breakdown(cfg, params)
+    print("\nMemory estimate (batch 128, bf16 activations), MB:")
+    print(f"  {'component':<28} {'acts':>9} {'grads':>9}")
+    for name, (a, g) in mem.items():
+        print(f"  {name:<28} {a:>9.2f} {g:>9.2f}")
+    live = (mem['all blocks (remat, live)'][0]
+            + mem['patch embeddings'][0] + mem['input image'][0]
+            + mem.get('cnn stem + lmfa + rrcv', (0, 0))[0])
+    print(f"  peak (remat, + fp32 params + opt) ≈ "
+          f"{live + total * 4 * 3 / 1024**2:.2f}")
 
 
 def _force_sync(out) -> None:

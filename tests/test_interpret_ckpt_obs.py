@@ -109,6 +109,13 @@ def test_grad_stats_and_flops(tiny_cfg, tiny_bundle):
         x.size for x in jax.tree.leaves(variables["params"]))
     fl = analytic_flops(tiny_cfg)
     assert fl["total"] > 0
+    from qavit_tpu.obs.analyzer import memory_breakdown
+    mem = memory_breakdown(tiny_cfg, variables["params"], batch=8)
+    # remat keeps one block's activations live; no-remat holds depth x
+    assert mem["all blocks (no remat)"][0] == \
+        mem["per block"][0] * tiny_cfg.depth
+    assert mem["all blocks (remat, live)"][0] == mem["per block"][0]
+    assert all(a >= 0 and g >= 0 for a, g in mem.values())
 
 
 def test_log_parse_roundtrip(tmp_path, capsys):
