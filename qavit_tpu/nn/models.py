@@ -54,7 +54,12 @@ def _scan_stack(block_cls, cfg, pmean_axis, dtype, length: int, name: str):
     storing them — wins when the model is HBM-traffic bound)."""
     target = block_cls
     if cfg.remat:
-        # arg 4 (train; 0 = self) is a python bool -> static
+        # arg 4 (train; 0 = self) is a python bool -> static.
+        # Remat stays ON for the fused-block Pallas path too: although
+        # its custom_vjp already recomputes in-kernel (so remat re-runs
+        # the forward kernels once more in the backward), the measured
+        # step is FASTER with remat (131.9 vs 140.7 ms @depth 8) — the
+        # scan-level residual traffic costs more than the recompute.
         target = nn.remat(block_cls, static_argnums=(4,))
     scanned = nn.scan(
         target,
