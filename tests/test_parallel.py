@@ -198,3 +198,34 @@ def test_loader_sharded_placement(dp_setup):
     assert len(x.sharding.device_set) == 8
     # each device holds a [2, ...] shard of the batch
     assert x.addressable_shards[0].data.shape[0] == 2
+
+
+def test_shardmap_step_with_fused_block(dp_setup, rng):
+    """The fused-block Pallas path under explicit shard_map DP on the
+    virtual mesh: per-shard kernels (interpret mode on CPU) + psum'd
+    grads + pmean'd bank update execute and produce finite metrics.
+    GSPMD cannot auto-partition pallas_call custom calls — shard_map is
+    the supported multi-chip combination for ``attn_impl=fused_block``."""
+    import qavit_tpu.kernels.fused_block as FB
+
+    cfg, tc = dp_setup
+    cfg = cfg.replace(name="dp_fused", attn_impl="fused_block",
+                      dropout=0.0, drop_path=0.0)
+    mesh = make_mesh()
+    model = build_model(cfg, pmean_axis=DATA_AXIS)
+    _, variables = init_model(cfg, rng)
+    sched = make_schedule(tc, 4)
+    tx = make_optimizer(tc, 4, sched)
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"), use_ema=True)
+    step = make_shardmap_train_step(model, tx, cfg, tc, mesh, sched)
+    x = jax.random.normal(rng, (16, 16, 16, 3))
+    y = jnp.tile(jnp.arange(8), 2).astype(jnp.int32)
+    FB.FORCE_PALLAS_INTERPRET = True
+    try:
+        state2, m = step(state, x, y, rng)
+    finally:
+        FB.FORCE_PALLAS_INTERPRET = False
+    assert int(m["count"]) == 16
+    assert np.isfinite(float(m["loss"]))
+    assert int(state2.bank_count) == 3 * cfg.depth
