@@ -245,3 +245,25 @@ def test_pallas_interpret_full_model(tiny_cfg, rng):
                          jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=5e-3, atol=5e-4)
+
+
+def test_counter_rng_mask_statistics():
+    """The in-kernel counter-hash RNG (murmur3 finalizer) produces masks
+    with the right keep rate and no obvious structure (the realizations
+    are arbitrary, the DISTRIBUTION is the contract)."""
+    rng = C.PallasRng(0.25, jnp.float32(0.0),
+                      (jnp.int32(1234), jnp.int32(567)), 3)
+    m = rng.drop("x", (64, 128))
+    m = np.asarray(m)
+    keep_frac = (m > 0).mean()
+    assert abs(keep_frac - 0.75) < 0.02
+    np.testing.assert_allclose(m[m > 0], 1.0 / 0.75, rtol=1e-6)
+    # different draws decorrelate
+    m2 = np.asarray(rng.drop("x", (64, 128)))
+    agree = ((m > 0) == (m2 > 0)).mean()
+    assert 0.5 < agree < 0.75  # ~ p^2 + (1-p)^2 = 0.625
+    # per-sample drop_path keep rate
+    rng2 = C.PallasRng(0.0, jnp.float32(0.3),
+                       (jnp.int32(9), jnp.int32(8)), 0)
+    dp = np.asarray(rng2.drop_path("d", 4096))
+    assert abs((dp > 0).mean() - 0.7) < 0.03
