@@ -305,6 +305,31 @@ def _kron_big(mix, G: int):
         G * m, G * n)
 
 
+def _window_perm(g: FusedGeom):
+    """perm[j] = original index of the j-th token in window-major order
+    (the flax SWA partition, fused_ref.window_partition)."""
+    grid = math.isqrt(g.n)
+    ws = math.isqrt(g.ws2)
+    nh = grid // ws
+    return np.arange(g.n).reshape(nh, ws, nh, ws).transpose(
+        0, 2, 1, 3).reshape(-1)
+
+
+def _swa_mix(e_mat, g: FusedGeom):
+    """SWA Linformer mix over ORIGINAL token order: [nw*kl, n].
+
+    Multi-window: ``kron(I_nw, E^T) @ P`` where P is the static
+    window-partition permutation — row (w*kl + a) compresses window w's
+    tokens with E column a, so the kernel needs no in-kernel gather."""
+    if g.nw == 1:
+        return e_mat.T
+    perm = _window_perm(g)
+    p_mat = np.zeros((g.n, g.n), np.float32)
+    p_mat[np.arange(g.n), perm] = 1.0
+    big = jnp.kron(jnp.eye(g.nw, dtype=e_mat.dtype), e_mat.T)
+    return big @ jnp.asarray(p_mat)
+
+
 def _prep_attn(qkv_kernel, qkv_bias, proj, heads: int, colsum=None):
     """Per-head q/k/v weights + out-projection rows for one branch.
 
@@ -390,12 +415,14 @@ def prep_block(p: Dict[str, Any], g: FusedGeom, G: int) -> Dict[str, Any]:
     out = {
         "norm1": p["norm1"],
         "swa": {
+            # per-window Linformer colsum bias repeats across windows
             "attn": _prep_attn(qkv["kernel"], qkv["bias"],
                                p["swa"]["proj"], heads,
-                               colsum=(swa_e["E_k"].sum(0),
-                                       swa_e["E_v"].sum(0))),
-            "big_k": _kron_big(swa_e["E_k"].T, G),
-            "big_v": _kron_big(swa_e["E_v"].T, G),
+                               colsum=(jnp.tile(swa_e["E_k"].sum(0), g.nw),
+                                       jnp.tile(swa_e["E_v"].sum(0),
+                                                g.nw))),
+            "big_k": _kron_big(_swa_mix(swa_e["E_k"], g), G),
+            "big_v": _kron_big(_swa_mix(swa_e["E_v"], g), G),
             "norm": p["swa"]["norm"],
         },
         "msda": {
@@ -463,8 +490,27 @@ def _neg_offdiag(G: int, n: int, kv: int):
     return jnp.where(row_g == col_g, 0.0, -jnp.inf).astype(jnp.float32)
 
 
+def _neg_swa(g: FusedGeom, G: int):
+    """SWA visibility mask [G*n, G*kv]: same sample AND (bank rows OR
+    compressed rows of the token's own window) — iota arithmetic only,
+    so it builds in-kernel for any window tiling."""
+    kv = g.nw * g.lin_k + g.bank_s
+    n = g.n
+    grid = math.isqrt(n)
+    ws = math.isqrt(g.ws2)
+    nh = grid // ws
+    r = jax.lax.broadcasted_iota(jnp.int32, (G * n, G * kv), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (G * n, G * kv), 1)
+    same = (r // n) == (c // kv)
+    t = r % n
+    cc = c % kv
+    w_t = (t // grid) // ws * nh + (t % grid) // ws
+    vis = same & ((cc >= g.nw * g.lin_k) | (cc // g.lin_k == w_t))
+    return jnp.where(vis, 0.0, -jnp.inf).astype(jnp.float32)
+
+
 def attn_heads_bd(ap, xn, tok_k, tok_v, bank, g: FusedGeom,
-                  G: int, dtype, rng, tag: str):
+                  G: int, dtype, rng, tag: str, neg=None):
     """Per-head block-diagonal attention (rule 2).
 
     xn [b, n, c]; tok_k/tok_v [b, m_tok, c] compressed token-side k/v
@@ -487,7 +533,8 @@ def attn_heads_bd(ap, xn, tok_k, tok_v, bank, g: FusedGeom,
     t_k2 = None if tok_k is None else tok_k.reshape(b * m_tok, c)
     t_v2 = None if tok_v is None else tok_v.reshape(b * m_tok, c)
 
-    neg = _neg_offdiag(G, n, kv)
+    if neg is None:
+        neg = _neg_offdiag(G, n, kv)
     scale = 1.0 / math.sqrt(d)
     out2 = jnp.zeros((b * n, c), jnp.float32)
     bad = jnp.zeros((), jnp.bool_)
@@ -556,10 +603,11 @@ def swa_bd(prep, xn, bank, g: FusedGeom, G: int, dtype, rng):
 
     ``bank``: {"k_heads": [H, S, d], "v_heads": ...} raw pre-split rows.
     """
-    tok_k = bd_mix(prep["big_k"], xn, G, dtype)     # [b, lin_k, c]
+    tok_k = bd_mix(prep["big_k"], xn, G, dtype)     # [b, nw*lin_k, c]
     tok_v = bd_mix(prep["big_v"], xn, G, dtype)
+    neg = _neg_swa(g, G) if g.nw > 1 else None
     out = attn_heads_bd(prep["attn"], xn, tok_k, tok_v, bank,
-                        g, G, dtype, rng, "swa")
+                        g, G, dtype, rng, "swa", neg=neg)
     out = apply_drop(out, rng.drop("swa_proj", out.shape))
     normed = R.layer_norm(out, prep["norm"], dtype)
     return out, normed

@@ -113,6 +113,20 @@ def _pick_tiles(b: int, target: int = 64) -> int:
 _TILE_TARGETS = {"swa": 64, "msda": 64, "cga": 32, "cross_tail": 64}
 
 
+def _tile_targets(geom) -> dict:
+    """Per-kernel batch-tile targets, scaled down with the block's token
+    count so the VMEM working set stays roughly constant (the flagship
+    targets above are for the 16-token geometry; tile 128 measured equal
+    to 64 there).  CGA scales quadratically: its [bt, n+S, n, gh] f32
+    score tensors grow ~n^2 (124 MB of bwd register spills at n=64,
+    tile 8)."""
+    scale = max(1, geom.n // 16)
+    t = {k: max(8, v // scale) for k, v in _TILE_TARGETS.items()}
+    if scale > 1:
+        t["cga"] = max(4, _TILE_TARGETS["cga"] // (scale * scale))
+    return t
+
+
 def _bank_heads(state, geom):
     """Raw bank rows pre-split per head (XLA-side lane surgery)."""
     h, d = geom.heads, geom.d
@@ -135,7 +149,7 @@ def fused_quad_block_tpu(p: Dict[str, Any], x, state, dpr, bank_params,
     from qavit_tpu.kernels.fused_block import finish_bank_update
 
     b = x.shape[0]
-    tiles = {k: _pick_tiles(b, t) for k, t in _TILE_TARGETS.items()}
+    tiles = {k: _pick_tiles(b, t) for k, t in _tile_targets(geom).items()}
     # one G for all kernels (prep is shared): group of the smallest tile
     G = C.pick_group(min(b // t for t in tiles.values()))
     prep = C.prep_block(p, geom, G)

@@ -71,7 +71,7 @@ class SWAP(nn.Module):
         c, g = self.cfg.embed_dim, self.geom
         return {
             "qkv": DenseP(c, 3 * c, name="qkv")(),
-            "linformer": LinformerP(g.n, g.lin_k, name="linformer")(),
+            "linformer": LinformerP(g.ws2, g.lin_k, name="linformer")(),
             "proj": DenseP(c, c, name="proj")(),
             "norm": LNP(c, name="norm")(),
         }

@@ -9,9 +9,10 @@ pytrees (the exact trees the flax modules create).  They are:
 * the recompute-backward for the fused path's ``jax.custom_vjp``,
 * the non-TPU fallback of ``attn_impl="fused_block"``.
 
-Geometry is specialised to the fused-supported case: a single-window token
-grid (``n == window_size**2``, i.e. every TokenLearner-compressed HQA-ViT
-stage and any config whose block-level token count is one SWA window).
+Geometry covers any square token grid that tiles cleanly into SWA
+windows (``grid % window_size == 0``): single-window TokenLearner
+stages (hqavit_c100) and multi-window grids (qavit_v2_c100 / EXTREME at
+64 tokens / 4 windows, hqavit_tiny_in at 64 learned tokens).
 """
 
 from __future__ import annotations
@@ -30,8 +31,10 @@ LN_EPS = 1e-5
 class FusedGeom(NamedTuple):
     """Static geometry of one fused block (derived from ModelConfig)."""
 
-    n: int                 # tokens inside the block (single SWA window)
+    n: int                 # tokens inside the block
     c: int                 # embed dim
+    ws2: int               # tokens per SWA window (window_size**2)
+    nw: int                # SWA windows per sample (1 = single-window)
     heads: int
     d: int                 # head dim
     lin_k: int             # linformer compressed length
@@ -66,8 +69,10 @@ def make_geom(cfg: ModelConfig) -> Optional[FusedGeom]:
     grid = int(math.isqrt(n))
     if grid * grid != n:
         return None
-    if cfg.window_size ** 2 != n:          # single-window SWA only
+    ws = cfg.window_size
+    if grid % ws != 0:                     # clean window tiling only
         return None
+    nw = (grid // ws) ** 2
     # multi-scale dilated gather indices on the block's grid
     idx = []
     for dil in cfg.dilation_factors:
@@ -81,7 +86,8 @@ def make_geom(cfg: ModelConfig) -> Optional[FusedGeom]:
         pooled = cfg.msda_pad_len
     comp_c = cfg.embed_dim // 2
     return FusedGeom(
-        n=n, c=cfg.embed_dim, heads=cfg.num_heads, d=cfg.head_dim,
+        n=n, c=cfg.embed_dim, ws2=ws * ws, nw=nw,
+        heads=cfg.num_heads, d=cfg.head_dim,
         lin_k=cfg.linformer_k, msda_keep=pooled,
         msda_idx=tuple(idx[:keep]), pool_stride=s,
         groups=cfg.num_channel_groups,
@@ -192,8 +198,10 @@ def make_block_masks(rng, b: int, g: "FusedGeom", dpr, train: bool):
 
     kv = g.lin_k + g.bank_s
     masks = {
-        "swa_attn": bern(r[0], (b, h, n, kv)),
-        "swa_proj": bern(r[1], (b, n, c)),
+        # SWA masks live in the windowed layout (flax applies attention
+        # + proj dropout BEFORE the window reverse)
+        "swa_attn": bern(r[0], (b * g.nw, h, g.ws2, kv)),
+        "swa_proj": bern(r[1], (b * g.nw, g.ws2, c)),
         "msda_attn": bern(r[2], (b, h, n, kv)),
         "msda_proj": bern(r[3], (b, n, c)),
         "cga_attn": bern(r[4], (b * gg, h, n, n + g.bank_s)),
@@ -298,14 +306,43 @@ def tl_norm1_ref(p_tl, p_norm1, x, g: FusedGeom, dtype):
     return xc, xn
 
 
+def window_partition(x, g: FusedGeom):
+    """[B, N, C] -> [B*nw, ws2, C] in window-major order (the flax SWA
+    partition, nn/branches.py:79-85; no-op when nw == 1)."""
+    if g.nw == 1:
+        return x
+    b, n, c = x.shape
+    grid = int(math.isqrt(n))
+    ws = int(math.isqrt(g.ws2))
+    nh = grid // ws
+    xw = x.reshape(b, nh, ws, nh, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return xw.reshape(b * g.nw, g.ws2, c)
+
+
+def window_reverse(xw, g: FusedGeom, b: int):
+    """[B*nw, ws2, C] -> [B, N, C] (inverse of window_partition)."""
+    if g.nw == 1:
+        return xw
+    c = xw.shape[-1]
+    grid = int(math.isqrt(g.n))
+    ws = int(math.isqrt(g.ws2))
+    nh = grid // ws
+    x = xw.reshape(b, nh, nh, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, g.n, c)
+
+
 def swa_ref(p, xn, bank_k, bank_v, g: FusedGeom, dtype, *,
             masks=(None, None)):
-    """Single-window SWA branch (QAViT.py:297-363 at n == ws^2).
+    """SWA branch (QAViT.py:297-363): windowed attention with per-window
+    Linformer compression + bank keys; single-window is the nw == 1
+    special case.
 
     bank_k/bank_v: [1, S, C] fp32 state values.  Returns (out, normed).
     """
     b = xn.shape[0]
-    qkv = dense(xn, p["qkv"], dtype)
+    xw = window_partition(xn, g)
+    bw = xw.shape[0]
+    qkv = dense(xw, p["qkv"], dtype)
     q, k, v = (split_heads(t, g.heads) for t in jnp.split(qkv, 3, axis=-1))
     e_k = p["linformer"]["E_k"].astype(dtype)
     e_v = p["linformer"]["E_v"].astype(dtype)
@@ -313,14 +350,15 @@ def swa_ref(p, xn, bank_k, bank_v, g: FusedGeom, dtype, *,
                      preferred_element_type=jnp.float32).astype(dtype)
     v_c = jnp.einsum("nm,bnhd->bmhd", e_v, v,
                      preferred_element_type=jnp.float32).astype(dtype)
-    kb = jnp.broadcast_to(bank_k, (b,) + bank_k.shape[1:]).astype(dtype)
-    vb = jnp.broadcast_to(bank_v, (b,) + bank_v.shape[1:]).astype(dtype)
+    kb = jnp.broadcast_to(bank_k, (bw,) + bank_k.shape[1:]).astype(dtype)
+    vb = jnp.broadcast_to(bank_v, (bw,) + bank_v.shape[1:]).astype(dtype)
     k_full = jnp.concatenate([k_c, split_heads(kb, g.heads)], axis=1)
     v_full = jnp.concatenate([v_c, split_heads(vb, g.heads)], axis=1)
     out = attention_core(q, k_full, v_full, dropout_rate=g.dropout,
                          mask=masks[0], guard=g.guard_nans)
     out = dense(merge_heads(out), p["proj"], dtype)
     out = dropout(out, g.dropout, masks[1])
+    out = window_reverse(out, g, b)
     normed = layer_norm(out, p["norm"], dtype)
     return out, normed
 

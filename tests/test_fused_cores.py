@@ -267,3 +267,113 @@ def test_counter_rng_mask_statistics():
                        (jnp.int32(9), jnp.int32(8)), 0)
     dp = np.asarray(rng2.drop_path("d", 4096))
     assert abs((dp > 0).mean() - 0.7) < 0.03
+
+
+def test_multiwindow_swa_bd_matches_twin():
+    """Multi-window SWA (64 tokens, 4 windows of 16): the
+    window-structured mix matrix + visibility mask reproduce the
+    windowed twin in ORIGINAL token order."""
+    cfg = get_preset("qavit_v2_c100").model
+    g = make_geom(cfg)
+    assert g is not None and g.nw == 4 and g.ws2 == 16
+    c = g.c
+    ks = iter(jax.random.split(jax.random.PRNGKey(5), 16))
+    nrm = jax.random.normal
+    p = {"qkv": _dense_p(next(ks), c, 3 * c),
+         "proj": _dense_p(next(ks), c, c),
+         "norm": _ln_p(next(ks), c),
+         "linformer": {"E_k": 0.02 * nrm(next(ks), (g.ws2, g.lin_k)),
+                       "E_v": 0.02 * nrm(next(ks), (g.ws2, g.lin_k))}}
+    xn = nrm(next(ks), (8, g.n, c))
+    bank_k = nrm(next(ks), (1, g.bank_s, c))
+    bank_v = nrm(next(ks), (1, g.bank_s, c))
+
+    want, want_normed = R.swa_ref(p, xn, bank_k, bank_v, g, jnp.float32)
+
+    # prep only the swa part directly
+    swa_prep = {
+        "attn": C._prep_attn(p["qkv"]["kernel"], p["qkv"]["bias"],
+                             p["proj"], g.heads,
+                             colsum=(jnp.tile(p["linformer"]["E_k"].sum(0),
+                                              g.nw),
+                                     jnp.tile(p["linformer"]["E_v"].sum(0),
+                                              g.nw))),
+        "big_k": C._kron_big(C._swa_mix(p["linformer"]["E_k"], g), 4),
+        "big_v": C._kron_big(C._swa_mix(p["linformer"]["E_v"], g), 4),
+        "norm": p["norm"],
+    }
+
+    def split(arr):
+        return arr[0].reshape(g.bank_s, g.heads, g.d).transpose(1, 0, 2)
+
+    bank = {"k_heads": split(bank_k), "v_heads": split(bank_v)}
+    got, got_normed = C.swa_bd(swa_prep, xn, bank, g, 4, jnp.float32,
+                               C.NullRng())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_normed),
+                               np.asarray(want_normed),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_multiwindow_full_model_interpret(tiny_plain_cfg, rng):
+    """Full model at a MULTI-WINDOW geometry (32px -> 64 patches, 4
+    windows of 16) through the REAL Pallas kernels (interpret mode) vs
+    the flax path — forward, train forward with bank evolution, and a
+    gradient."""
+    import qavit_tpu.kernels.fused_block as FB
+    from qavit_tpu.kernels.fused_ref import make_geom as mg
+    from qavit_tpu.nn import build_model, init_model
+
+    cfg_ref = tiny_plain_cfg.replace(
+        name="tiny_mw", img_size=32, dtype="float32", dropout=0.0,
+        drop_path=0.0)
+    g = mg(cfg_ref)
+    assert g is not None and g.nw == 4
+    cfg_fused = cfg_ref.replace(attn_impl="fused_block")
+    _, variables = init_model(cfg_ref, jax.random.PRNGKey(0))
+    x = jax.random.normal(rng, (4, 32, 32, 3))
+
+    def run(force, train):
+        model = build_model(cfg_fused)
+        FB.FORCE_PALLAS_INTERPRET = force
+        try:
+            if train:
+                out, _ = model.apply(variables, x,
+                                     rngs={"dropout": rng},
+                                     mutable=["batch_stats"],
+                                     train=True, bank_count=0)
+                return out
+            return model.apply(variables, x, train=False, bank_count=0)
+        finally:
+            FB.FORCE_PALLAS_INTERPRET = False
+
+    le_ref, _ = run(False, False)
+    le_pal, _ = run(True, False)
+    np.testing.assert_allclose(np.asarray(le_pal), np.asarray(le_ref),
+                               rtol=2e-4, atol=2e-5)
+    lt_ref, b_ref = run(False, True)
+    lt_pal, b_pal = run(True, True)
+    np.testing.assert_allclose(np.asarray(lt_pal), np.asarray(lt_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(b_pal.k), np.asarray(b_ref.k),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(params, force):
+        model = build_model(cfg_fused)
+        FB.FORCE_PALLAS_INTERPRET = force
+        try:
+            out, _ = model.apply(dict(variables, params=params), x,
+                                 rngs={"dropout": rng},
+                                 mutable=["batch_stats"],
+                                 train=True, bank_count=0)
+        finally:
+            FB.FORCE_PALLAS_INTERPRET = False
+        return jnp.sum(out[0] ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(variables["params"])
+    g_pal = jax.grad(lambda p: loss(p, True))(variables["params"])
+    for got, want in zip(jax.tree_util.tree_leaves(g_pal),
+                         jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-3, atol=5e-4)
