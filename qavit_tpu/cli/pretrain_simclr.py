@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--log-dir", default="./logs_simclr")
     p.add_argument("--checkpoint-dir", default="./checkpoints_simclr")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--pipeline", default="stl10_unlabeled",
+                   choices=["stl10_unlabeled", "proc_stl_unlabeled"],
+                   help="two-view aug pipeline + dataset; proc_stl is "
+                        "the no-egress 96px procedural substrate")
     p.add_argument("--max-steps-per-epoch", type=int, default=None)
     args = p.parse_args(argv)
     enable_compilation_cache()
@@ -45,7 +49,7 @@ def main(argv=None):
 
     preset = get_preset("simclr_stl10")
     mc = preset.model
-    pipe = get_pipeline("stl10_unlabeled")
+    pipe = get_pipeline(args.pipeline)
     data_root = "/nonexistent" if args.synthetic else args.data_root
     ds = load_dataset(pipe.base_dataset, data_root)
     if ds.synthetic:

@@ -36,6 +36,7 @@ STATS = {
     # procedurally generated fallback dataset (see qavit_tpu/data/procgen.py)
     "proc100": ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25)),
     "proc10": ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25)),
+    "proc_stl": ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25)),
 }
 
 
@@ -182,6 +183,13 @@ def _load_proc10(root: str) -> Dataset:
     return Dataset("proc10", tr_x, tr_y, te_x, te_y, 10)
 
 
+def _load_proc_stl(root: str) -> Dataset:
+    from qavit_tpu.data.procgen import load_or_generate_proc_stl
+
+    tr_x, tr_y, te_x, te_y = load_or_generate_proc_stl(root)
+    return Dataset("proc_stl", tr_x, tr_y, te_x, te_y, 100)
+
+
 def load_dataset(name: str, data_root: str = "./data",
                  allow_synthetic: bool = True) -> Dataset:
     """Load a dataset by base name ('cifar10', 'cifar100', 'stl10',
@@ -194,11 +202,12 @@ def load_dataset(name: str, data_root: str = "./data",
         "tiny_imagenet": lambda: _load_tiny_imagenet(data_root),
         "proc100": lambda: _load_proc100(data_root),
         "proc10": lambda: _load_proc10(data_root),
+        "proc_stl": lambda: _load_proc_stl(data_root),
     }
     sizes = {"cifar10": (32, 10), "cifar100": (32, 100),
              "stl10": (96, 10), "stl10_unlabeled": (96, 10),
              "tiny_imagenet": (64, 200), "proc100": (32, 100),
-             "proc10": (32, 10)}
+             "proc10": (32, 10), "proc_stl": (96, 100)}
     if name not in loaders:
         raise KeyError(f"unknown dataset {name!r}")
     ds = loaders[name]()

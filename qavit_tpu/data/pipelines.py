@@ -54,6 +54,12 @@ PIPELINES = {
     "stl10_unlabeled": _spec("stl10_unlabeled", "stl10",
                              rrc_scale=(0.2, 1.0),
                              jitter=(0.8, 0.8, 0.8, 0.2), jitter_prob=0.8),
+    # no-egress SimCLR substrate: the 96px procedural set under the same
+    # two-view aug (see procgen.load_or_generate_proc_stl)
+    "proc_stl_unlabeled": _spec("proc_stl", "proc_stl",
+                                rrc_scale=(0.2, 1.0),
+                                jitter=(0.8, 0.8, 0.8, 0.2),
+                                jitter_prob=0.8),
     # HQAViT_IN_Tiny.py:1500-1546 — crop(64, 8), no erasing
     "tiny_imagenet": _spec("tiny_imagenet", "tiny_imagenet", crop_pad=8,
                            rotation_deg=15.0,

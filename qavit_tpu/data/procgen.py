@@ -115,3 +115,23 @@ def load_or_generate_proc10(data_root: str, n_train: int = 10000,
     target (HQAViT_Tiny_Cifar10.py): a different, smaller distribution
     to finetune the proc100-pretrained model on."""
     return _load_or_generate(data_root, "proc10", 10, n_train, n_test)
+
+
+def load_or_generate_proc_stl(data_root: str, n_train: int = 5000,
+                              n_test: int = 1000):
+    """proc_stl: 96x96 images from the proc100 process — the no-egress
+    SimCLR substrate.  Unlike random noise (where two crops of one image
+    are uncorrelated and NT-Xent stays pinned at ln(2B-1)), the smooth
+    gratings survive RandomResizedCrop, so instance discrimination is
+    learnable — the property the STL-10 unlabeled split provides."""
+    cache = Path(data_root) / "proc_stl.npz"
+    if cache.exists():
+        z = np.load(cache)
+        return (z["train_images"], z["train_labels"],
+                z["test_images"], z["test_labels"])
+    tr_x, tr_y = generate_proc100(n_train, seed=2, img_size=96)
+    te_x, te_y = generate_proc100(n_test, seed=3, img_size=96)
+    os.makedirs(data_root, exist_ok=True)
+    np.savez_compressed(cache, train_images=tr_x, train_labels=tr_y,
+                        test_images=te_x, test_labels=te_y)
+    return tr_x, tr_y, te_x, te_y
