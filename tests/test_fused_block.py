@@ -36,8 +36,13 @@ def test_geom_supported(f32_cfg):
     # flagship config is supported too
     from qavit_tpu.configs import get_preset
     assert make_geom(get_preset("hqavit_c100").model) is not None
-    # multi-window geometries are not (flat 8x8 grid, window 4)
-    assert make_geom(get_preset("qavit_v2_c100").model) is None
+    # multi-window geometries are supported too (flat 8x8 grid, window
+    # 4 -> 4 windows of 16)
+    g2 = make_geom(get_preset("qavit_v2_c100").model)
+    assert g2 is not None and g2.nw == 4 and g2.ws2 == 16
+    # non-square grids remain unsupported
+    assert make_geom(
+        get_preset("qavit_v2_c100").model.replace(window_size=3)) is None
 
 
 def test_holder_tree_matches_reference(f32_cfg, rng):
