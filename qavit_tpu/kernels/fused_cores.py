@@ -86,6 +86,23 @@ class HostRng:
         self.G = G
         self.keep = 1.0 - geom.dropout
 
+    def _swa_expand(self, mh):
+        """SWA windowed twin mask [b*nw, ws2, lin_k+S] -> the bd layout
+        [b, n, nw*lin_k+S] in ORIGINAL token order.  Off-window token
+        column groups are exact-zero probs in the bd core (the _neg_swa
+        visibility mask), so their values are don't-care (zeros)."""
+        g = self.g
+        lin_k = g.lin_k
+        bnw, ws2, kv = mh.shape
+        b = bnw // g.nw
+        mw = mh.astype(jnp.float32).reshape(b, g.nw, ws2, kv)
+        eye = jnp.eye(g.nw, dtype=jnp.float32)
+        tok = (eye[None, :, None, :, None]
+               * mw[..., None, :lin_k]).reshape(b, g.n, g.nw * lin_k)
+        bank = mw[..., lin_k:].reshape(b, g.n, kv - lin_k)
+        full = jnp.concatenate([tok, bank], axis=-1)
+        return full[:, np.argsort(_window_perm(g))]
+
     def attn(self, tag, ih, shape):
         """Prescaled f32 mask in the block-diag [ng, G*n, G*kv] layout
         (broadcast along the off-diag col-group axis: those probs are
@@ -100,20 +117,29 @@ class HostRng:
             mk = m.reshape(b, gg, g.heads, g.n, m.shape[-1]).transpose(
                 0, 4, 3, 1, 2).reshape(shape)
             return mk.astype(jnp.float32) / self.keep
-        mh = m[:, ih]                   # [b, n, kv]
+        if tag == "swa_attn" and self.g.nw > 1:
+            mh = self._swa_expand(m[:, ih])
+        else:
+            mh = m[:, ih].astype(jnp.float32)    # [b, n, kv]
         b, n, kv = mh.shape
         G = self.G
         ng = b // G
         mh = jnp.broadcast_to(
             mh.reshape(ng, G, n, 1, kv),
             (ng, G, n, G, kv)).reshape(ng, G * n, G * kv)
-        return mh.astype(jnp.float32) / self.keep
+        return mh / self.keep
 
     def drop(self, tag, shape):
         m = self.m.get(tag)
         if m is None:
             return None
-        return m.astype(jnp.float32) / self.keep
+        m = m.astype(jnp.float32)
+        if tag == "swa_proj" and self.g.nw > 1:
+            # twin applies proj dropout BEFORE window reverse: reorder
+            # the windowed rows to original token order
+            m = m.reshape(-1, self.g.n, m.shape[-1])
+            m = m[:, np.argsort(_window_perm(self.g))]
+        return m / self.keep
 
     def drop_path(self, tag, b):
         return self.m.get(tag)          # already prescaled f32 [b, 1, 1]
@@ -222,6 +248,48 @@ def _launder(x):
     out = jax.lax.dot_general(x2, eye, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     return out.astype(x.dtype).reshape(x.shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _bcast_rows_fn(b: int):
+    """Broadcast [S, d] -> [b, S, d] with a HAND-WRITTEN backward.
+
+    The auto-vjp of ``broadcast_to`` is a sum over the new leading dim,
+    whose replicated-layout output Mosaic cannot relayout into the matmul
+    operands further down the bank-gradient chain (lowering rule 7).  The
+    manual backward launders the batch reduction through one selection
+    matmul: ``sel [S, b*S] @ cot [b*S, d]`` — row-regroup reshape plus a
+    standard row-contraction, both lowerable.  This is what lets the bank
+    k/v ride in the kernels' *diff* group so attention reads differentiate
+    into ``global_k``/``global_v`` exactly like the torch parameters
+    (QAViT.py:183-224 reads of nn.Parameter) and this repo's own
+    nn/bank.py contract."""
+
+    @jax.custom_vjp
+    def f(kb):
+        return jnp.broadcast_to(kb[None], (b,) + kb.shape)
+
+    def fwd(kb):
+        return f(kb), kb   # residual only carries shape/dtype (tiny)
+
+    def bwd(kb, d):
+        dt = kb.dtype
+        s, feat = kb.shape
+        d2 = d.astype(jnp.float32).reshape(b * s, feat)
+        row = jax.lax.broadcasted_iota(jnp.int32, (s, b * s), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (s, b * s), 1)
+        sel = (col % s == row).astype(jnp.float32)
+        dk = jax.lax.dot_general(sel, d2, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return (dk.astype(dt),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def bcast_rows(kb, b: int):
+    """[S, d] -> [b, S, d] broadcast whose vjp lowers in Mosaic."""
+    return _bcast_rows_fn(b)(kb)
 
 
 def _cga_sweep(qs, ks, vs, mask, scale: float):
@@ -552,8 +620,11 @@ def attn_heads_bd(ap, xn, tok_k, tok_v, bank, g: FusedGeom,
             parts_k.append(k_tok)
             parts_v.append(v_tok)
         if raw_bank:
-            kb = bank["k_heads"][ih].astype(dtype)
-            vb = bank["v_heads"][ih].astype(dtype)
+            # broadcast in f32 (the bank carry dtype), cast after: the
+            # custom-vjp broadcast keeps the read-gradient chain to
+            # global_k/global_v lowerable (see bcast_rows)
+            kb = bank["k_heads"][ih]
+            vb = bank["v_heads"][ih]
         else:
             kb = R.mm(bank["k_full"].astype(dtype),
                       ap["wk"][ih].astype(dtype), dtype) \
@@ -561,8 +632,8 @@ def attn_heads_bd(ap, xn, tok_k, tok_v, bank, g: FusedGeom,
             vb = R.mm(bank["v_full"].astype(dtype),
                       ap["wv"][ih].astype(dtype), dtype) \
                 + ap["bv"][ih].astype(dtype)
-        parts_k.append(jnp.broadcast_to(kb[None], (b, s_bank, d)))
-        parts_v.append(jnp.broadcast_to(vb[None], (b, s_bank, d)))
+        parts_k.append(bcast_rows(kb, b).astype(dtype))
+        parts_v.append(bcast_rows(vb, b).astype(dtype))
         k_h = parts_k[0] if len(parts_k) == 1 else jnp.concatenate(
             parts_k, axis=1)
         v_h = parts_v[0] if len(parts_v) == 1 else jnp.concatenate(
@@ -668,13 +739,11 @@ def cga_bd(prep, xn, bank_k, bank_v, g: FusedGeom, G: int, dtype, rng):
         k_tok = (R.mm(x2, prep["wk"][di], f32)
                  + prep["bk"][di]).reshape(b, n, gh)
         kb = R.mm(bank_k, prep["wbk"][di], f32) + prep["bbk"][di]
-        k_di = jnp.concatenate(
-            [k_tok, jnp.broadcast_to(kb[None], (b, s_bank, gh))], axis=1)
+        k_di = jnp.concatenate([k_tok, bcast_rows(kb, b)], axis=1)
         v_tok = (R.mm(x2, prep["wv"][di], f32)
                  + prep["bv"][di]).reshape(b, n, gh)
         vb = R.mm(bank_v, prep["wbv"][di], f32) + prep["bbv"][di]
-        v_di = jnp.concatenate(
-            [v_tok, jnp.broadcast_to(vb[None], (b, s_bank, gh))], axis=1)
+        v_di = jnp.concatenate([v_tok, bcast_rows(vb, b)], axis=1)
         qs.append(q_di)
         ks.append(k_di)
         vs.append(v_di)

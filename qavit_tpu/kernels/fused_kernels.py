@@ -25,6 +25,7 @@ QAViTV2_EXTREME.py:570-620) with a whole-block-in-VMEM design.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Dict, Optional
 
 import jax
@@ -54,11 +55,14 @@ def make_cores(geom: R.FusedGeom, G: int, dtype_name: str, train: bool):
                            (smem["seeds"][2 * branch_id],
                             smem["seeds"][2 * branch_id + 1]), tile_idx)
 
-    # The bank state and write params live in the NON-diff ``const``
-    # group: the bank is a stop-gradient carry (torch buffer written
-    # under no-grad, QAViT.py:183-224), so its cotangent would be
-    # discarded by XLA anyway — and the d_bank path is exactly the
-    # broadcast-reduction chain whose relayouts Mosaic cannot lower.
+    # The bank k/v ride in the *diff* group: attention READS must
+    # differentiate into global_k/global_v exactly like the torch
+    # parameters (QAViT.py:183-224; nn/bank.py contract, test_bank.py).
+    # The d_bank broadcast-reduction chain lowers because the broadcast
+    # is the custom-vjp `fused_cores.bcast_rows` (laundered batch-sum
+    # backward).  Only the WRITE-path params stay in the non-diff
+    # ``const`` group — their outputs feed stop-gradient carries, so
+    # they are frozen at init in torch too.
 
     def partials(const, normed):
         if not train:
@@ -69,27 +73,27 @@ def make_cores(geom: R.FusedGeom, G: int, dtype_name: str, train: bool):
     def core_swa(diff, batch, aux, const, smem, tile_idx):
         rng = make_rng(smem, tile_idx, 0)
         xn = R.layer_norm(batch["x"], diff["norm1"], dtype)
-        out, normed = C.swa_bd(diff["p"], xn, const["bank"], geom, G,
+        out, normed = C.swa_bd(diff["p"], xn, diff["bank"], geom, G,
                                dtype, rng)
         return {"out": out, "xn": xn}, partials(const, normed)
 
     def core_msda(diff, batch, aux, const, smem, tile_idx):
         rng = make_rng(smem, tile_idx, 1)
-        out, normed = C.msda_bd(diff["p"], batch["xn"], const["bank"],
+        out, normed = C.msda_bd(diff["p"], batch["xn"], diff["bank"],
                                 geom, G, dtype, rng)
         return {"out": out}, partials(const, normed)
 
     def core_cga(diff, batch, aux, const, smem, tile_idx):
         rng = make_rng(smem, tile_idx, 2)
         out, normed = C.cga_bd(diff["p"], batch["xn"],
-                               const["bank"]["k_full"],
-                               const["bank"]["v_full"], geom, G, dtype,
+                               diff["bank"]["k_full"],
+                               diff["bank"]["v_full"], geom, G, dtype,
                                rng)
         return {"out": out}, partials(const, normed)
 
     def core_cross_tail(diff, batch, aux, const, smem, tile_idx):
         rng = make_rng(smem, tile_idx, 3)
-        out_cross = C.cross_bd(diff["p"], batch["xn"], const["bank"],
+        out_cross = C.cross_bd(diff["p"], batch["xn"], diff["bank"],
                                geom, G, dtype, rng)
         y = C.tail_bd(diff["tail"], batch["x"],
                       (batch["swa"], batch["msda"], batch["cga"],
@@ -127,6 +131,16 @@ def _tile_targets(geom) -> dict:
     return t
 
 
+def plan_tiles(b: int, geom) -> tuple:
+    """(tiles, G) for one fused block at batch ``b``: per-kernel grid
+    tile counts plus the shared G-sample group size.  Invariant (tested):
+    G divides every kernel's tile size, since each kernel regroups its
+    batch tile into G-sample blocks."""
+    tiles = {k: _pick_tiles(b, t) for k, t in _tile_targets(geom).items()}
+    G = C.pick_group(math.gcd(*(b // t for t in tiles.values())))
+    return tiles, G
+
+
 def _bank_heads(state, geom):
     """Raw bank rows pre-split per head (XLA-side lane surgery)."""
     h, d = geom.heads, geom.d
@@ -149,9 +163,7 @@ def fused_quad_block_tpu(p: Dict[str, Any], x, state, dpr, bank_params,
     from qavit_tpu.kernels.fused_block import finish_bank_update
 
     b = x.shape[0]
-    tiles = {k: _pick_tiles(b, t) for k, t in _tile_targets(geom).items()}
-    # one G for all kernels (prep is shared): group of the smallest tile
-    G = C.pick_group(min(b // t for t in tiles.values()))
+    tiles, G = plan_tiles(b, geom)
     prep = C.prep_block(p, geom, G)
     cores = make_cores(geom, G, jnp.dtype(dtype).name, train)
     key = (geom, G, jnp.dtype(dtype).name, train)
@@ -170,41 +182,42 @@ def fused_quad_block_tpu(p: Dict[str, Any], x, state, dpr, bank_params,
         return finish_bank_update(bank_cfg, state, accum["pk"],
                                   accum["pv"], b, pmean_axis)
 
-    bankp = {"bankp": bank_params} if train else {}
-
-    def bank_const(bank):
-        # stop_gradient belt-and-braces: const is non-diff by contract
-        return jax.lax.stop_gradient({"bank": bank, **bankp})
+    # write-path params are const (frozen in torch: outputs feed only
+    # .data ops); the bank VALUES are diff inputs — read-gradients flow
+    const = (jax.lax.stop_gradient({"bankp": bank_params}) if train
+             else {})
 
     bo, ao = run_unit(
         cores["swa"], ("swa", tiles["swa"]) + key,
-        {"p": prep["swa"], "norm1": prep["norm1"]},
-        {"x": x}, {}, bank_const(_bank_heads(state, geom)),
+        {"p": prep["swa"], "norm1": prep["norm1"],
+         "bank": _bank_heads(state, geom)},
+        {"x": x}, {}, const,
         smem=smem, tiles=tiles["swa"], interpret=interpret)
     out_swa, xn = bo["out"], bo["xn"]
     state = finish(state, ao)
 
     bo, ao = run_unit(
         cores["msda"], ("msda", tiles["msda"]) + key,
-        {"p": prep["msda"]},
-        {"xn": xn}, {}, bank_const(_bank_heads(state, geom)),
+        {"p": prep["msda"], "bank": _bank_heads(state, geom)},
+        {"xn": xn}, {}, const,
         smem=smem, tiles=tiles["msda"], interpret=interpret)
     out_msda = bo["out"]
     state = finish(state, ao)
 
     bo, ao = run_unit(
         cores["cga"], ("cga", tiles["cga"]) + key,
-        {"p": prep["cga"]},
-        {"xn": xn}, {}, bank_const(_bank_full(state)),
+        {"p": prep["cga"], "bank": _bank_full(state)},
+        {"xn": xn}, {}, const,
         smem=smem, tiles=tiles["cga"], interpret=interpret)
     out_cga = bo["out"]
     state = finish(state, ao)
 
     bo, _ = run_unit(
         cores["cross_tail"], ("cross_tail", tiles["cross_tail"]) + key,
-        {"p": prep["cross"], "tail": prep["tail"]},
+        {"p": prep["cross"], "tail": prep["tail"],
+         "bank": _bank_full(state)},
         {"x": x, "xn": xn, "swa": out_swa, "msda": out_msda,
          "cga": out_cga},
-        {}, jax.lax.stop_gradient({"bank": _bank_full(state)}),
+        {}, {},
         smem=smem, tiles=tiles["cross_tail"], interpret=interpret)
     return bo["y"], state

@@ -245,6 +245,77 @@ def test_pallas_interpret_full_model(tiny_cfg, rng):
                          jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=5e-3, atol=5e-4)
+    _assert_bank_read_grads(g_pal, g_ref)
+
+
+def _assert_bank_read_grads(g_pal, g_ref):
+    """ADVICE r2 (high): the fused Pallas path must propagate attention
+    READ gradients into global_k/global_v — the torch bank k/v are
+    nn.Parameters updated from read-gradients (QAViT.py:183-224), and
+    nn/bank.py keeps that contract.  Compared RELATIVELY: the old
+    absolute atol let an exactly-zero kernel gradient pass at toy
+    scale."""
+
+    def bank_leaves(tree):
+        out = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            keys = [getattr(p, "key", None) for p in path]
+            if "global_bank" in keys and keys[-1] in ("global_k",
+                                                      "global_v"):
+                out[keys[-1]] = np.asarray(leaf)
+        return out
+
+    bp, br = bank_leaves(g_pal), bank_leaves(g_ref)
+    assert set(br) == {"global_k", "global_v"}
+    for k in ("global_k", "global_v"):
+        ref_norm = np.linalg.norm(br[k])
+        assert ref_norm > 0, f"reference {k} read-gradient is zero"
+        rel = np.linalg.norm(bp[k] - br[k]) / ref_norm
+        assert rel < 1e-3, (k, rel, ref_norm)
+
+
+def test_plan_tiles_group_divides_every_tile():
+    """ADVICE r2 #2 regression: G must divide EVERY kernel's tile size
+    (batch 72 at the n=64 multi-window geometry picked swa tile 18 with
+    G=4 and failed at trace time in bd_mix)."""
+    from qavit_tpu.kernels.fused_kernels import plan_tiles
+
+    for preset in ("hqavit_c100", "qavit_v2_c100", "hqavit_tiny_in"):
+        g = make_geom(get_preset(preset).model)
+        assert g is not None
+        for b in (8, 16, 24, 56, 72, 96, 120, 128, 256, 1024):
+            tiles, G = plan_tiles(b, g)
+            for k, t in tiles.items():
+                assert b % t == 0, (preset, b, k, t)
+                assert (b // t) % G == 0, (preset, b, k, b // t, G)
+
+
+def test_fused_interpret_multiwindow_batch72(tiny_plain_cfg, rng):
+    """The exact geometry/batch that failed at trace time pre-fix
+    (ADVICE r2 #2): multi-window 64-token blocks at batch 72 through the
+    real kernels in interpret mode."""
+    import qavit_tpu.kernels.fused_block as FB
+    from qavit_tpu.nn import build_model, init_model
+
+    cfg_ref = tiny_plain_cfg.replace(
+        name="tiny_mw72", img_size=32, dtype="float32", dropout=0.0,
+        drop_path=0.0)
+    cfg_fused = cfg_ref.replace(attn_impl="fused_block")
+    _, variables = init_model(cfg_ref, jax.random.PRNGKey(0))
+    x = jax.random.normal(rng, (72, 32, 32, 3))
+
+    def run(force):
+        model = build_model(cfg_fused)
+        FB.FORCE_PALLAS_INTERPRET = force
+        try:
+            return model.apply(variables, x, train=False, bank_count=0)
+        finally:
+            FB.FORCE_PALLAS_INTERPRET = False
+
+    le_ref, _ = run(False)
+    le_pal, _ = run(True)
+    np.testing.assert_allclose(np.asarray(le_pal), np.asarray(le_ref),
+                               rtol=2e-4, atol=2e-5)
 
 
 def test_counter_rng_mask_statistics():
@@ -377,3 +448,4 @@ def test_multiwindow_full_model_interpret(tiny_plain_cfg, rng):
                          jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=5e-3, atol=5e-4)
+    _assert_bank_read_grads(g_pal, g_ref)
