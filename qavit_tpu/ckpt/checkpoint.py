@@ -119,16 +119,26 @@ def restore_train_state(path: str, template: TrainState
 
 def load_for_transfer(path: str, template_params,
                       drop_head: bool = True,
-                      new_grid: Optional[int] = None):
+                      new_grid: Optional[int] = None,
+                      simclr: bool = False):
     """Load pretrained params for finetuning: optional head drop
     ('head' not in k, HQAViT_Tiny_Cifar10.py:449-453) and positional
-    embedding resize (HQAViT_Tiny_stl10.py:250-283)."""
+    embedding resize (HQAViT_Tiny_stl10.py:250-283).
+
+    ``simclr=True`` unwraps the backbone subtree out of a SimCLRNet
+    checkpoint (projection head discarded) — the reconstructed analogue
+    of the reference's SimCLR->finetune path (logs_stl10_simclr/finetune;
+    HQAViT_Tiny_stl10.py:362-420)."""
     from qavit_tpu.nn.layers import resize_pos_embed
 
     path = Path(path).resolve()
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(path / "state")
     params = restored["params"]
+    if simclr:
+        from qavit_tpu.train.simclr import extract_backbone_params
+
+        params = extract_backbone_params(params)
 
     out = jax.tree.map(lambda x: x, template_params)  # copy structure
 

@@ -55,8 +55,14 @@ def main(argv=None):
     if ds.synthetic:
         print("WARNING: synthetic data")
 
-    loader = BatchLoader(ds.train_images, ds.train_labels, args.batch_size,
-                         shuffle=True, seed=0)
+    loader_cls = BatchLoader
+    if jax.process_count() == 1:
+        from qavit_tpu import native
+        if native.is_available():
+            loader_cls = native.NativeBatchLoader
+            print("loader: native C++ ring batcher")
+    loader = loader_cls(ds.train_images, ds.train_labels, args.batch_size,
+                        shuffle=True, seed=0)
     steps_per_epoch = len(loader)
     if args.max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
