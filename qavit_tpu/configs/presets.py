@@ -108,6 +108,15 @@ def _hqavit_tiny_in() -> Preset:
     return Preset(model, train, "tiny_imagenet")
 
 
+def _hqavit_proc_tin() -> Preset:
+    """The depth-12 preset on the proc_tin procedural substrate (64px,
+    200 classes, TinyImageNet-shaped) — the no-egress training run for
+    the deepest variant (VERDICT r2 missing #4)."""
+    p = _hqavit_tiny_in()
+    return Preset(p.model.replace(name="hqavit_proc_tin"), p.train,
+                  "proc_tin")
+
+
 def _hqavit_c100_finetune() -> Preset:
     """CIFAR-100 finetune (HQAViT_C100_Finetune.py): warm-restart schedule,
     layer-wise LR, TTA."""
@@ -170,6 +179,17 @@ def _simclr_stl10() -> Preset:
     return Preset(p.model.replace(name="simclr_stl10"), train, "stl10_unlabeled")
 
 
+def _hqavit_tiny_proc_stl() -> Preset:
+    """Labeled proc_stl finetune (5k labels @96px, 100 classes): the
+    no-egress analogue of the STL-10 supervised transfer / SimCLR
+    finetune (HQAViT_Tiny_stl10.py:362-420; logs_stl10_simclr/finetune).
+    Used both from-scratch (control) and with --init-from-simclr."""
+    p = _hqavit_tiny_stl10()
+    model = p.model.replace(name="hqavit_tiny_proc_stl", num_classes=100)
+    train = p.train.replace(base_lr=2e-4)
+    return Preset(model, train, "proc_stl")
+
+
 def _hqavit_proc100() -> Preset:
     """Flagship HQA-ViT model/training recipe on the proc100 procedural
     dataset — the no-egress convergence-validation run (VERDICT r1 #1;
@@ -186,6 +206,8 @@ PRESETS = {
     "qavit_v2_extreme": _qavit_v2_extreme,
     "hqavit_c100": _hqavit_c100,
     "hqavit_proc100": _hqavit_proc100,
+    "hqavit_tiny_proc_stl": _hqavit_tiny_proc_stl,
+    "hqavit_proc_tin": _hqavit_proc_tin,
     "hqavit_v2_c100": _hqavit_v2_c100,
     "hqavit_tiny_in": _hqavit_tiny_in,
     "hqavit_c100_finetune": _hqavit_c100_finetune,

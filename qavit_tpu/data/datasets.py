@@ -37,6 +37,7 @@ STATS = {
     "proc100": ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25)),
     "proc10": ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25)),
     "proc_stl": ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25)),
+    "proc_tin": ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25)),
 }
 
 
@@ -190,6 +191,13 @@ def _load_proc_stl(root: str) -> Dataset:
     return Dataset("proc_stl", tr_x, tr_y, te_x, te_y, 100)
 
 
+def _load_proc_tin(root: str) -> Dataset:
+    from qavit_tpu.data.procgen import load_or_generate_proc_tin
+
+    tr_x, tr_y, te_x, te_y = load_or_generate_proc_tin(root)
+    return Dataset("proc_tin", tr_x, tr_y, te_x, te_y, 200)
+
+
 def load_dataset(name: str, data_root: str = "./data",
                  allow_synthetic: bool = True) -> Dataset:
     """Load a dataset by base name ('cifar10', 'cifar100', 'stl10',
@@ -203,11 +211,13 @@ def load_dataset(name: str, data_root: str = "./data",
         "proc100": lambda: _load_proc100(data_root),
         "proc10": lambda: _load_proc10(data_root),
         "proc_stl": lambda: _load_proc_stl(data_root),
+        "proc_tin": lambda: _load_proc_tin(data_root),
     }
     sizes = {"cifar10": (32, 10), "cifar100": (32, 100),
              "stl10": (96, 10), "stl10_unlabeled": (96, 10),
              "tiny_imagenet": (64, 200), "proc100": (32, 100),
-             "proc10": (32, 10), "proc_stl": (96, 100)}
+             "proc10": (32, 10), "proc_stl": (96, 100),
+             "proc_tin": (64, 200)}
     if name not in loaders:
         raise KeyError(f"unknown dataset {name!r}")
     ds = loaders[name]()

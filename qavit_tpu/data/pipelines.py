@@ -60,11 +60,25 @@ PIPELINES = {
                                 rrc_scale=(0.2, 1.0),
                                 jitter=(0.8, 0.8, 0.8, 0.2),
                                 jitter_prob=0.8),
+    # labeled proc_stl (5k labels, mirroring STL-10's labeled split) under
+    # the supervised STL transfer aug — the SimCLR->finetune target
+    # (HQAViT_Tiny_stl10.py:160-247 knobs)
+    "proc_stl": _spec("proc_stl", "proc_stl", rrc_scale=(0.6, 1.0),
+                      rotation_deg=15.0, jitter=(0.4, 0.4, 0.4, 0.1),
+                      jitter_prob=1.0, randaug_ops=2, randaug_magnitude=9,
+                      blur_prob=0.25, blur_kernel=3,
+                      erasing_prob=0.3, erasing_scale=(0.02, 0.2)),
     # HQAViT_IN_Tiny.py:1500-1546 — crop(64, 8), no erasing
     "tiny_imagenet": _spec("tiny_imagenet", "tiny_imagenet", crop_pad=8,
                            rotation_deg=15.0,
                            jitter=(0.4, 0.4, 0.4, 0.1), jitter_prob=1.0,
                            randaug_ops=2, randaug_magnitude=6),
+    # 200-class 64px procedural substrate under the TinyImageNet aug
+    # knobs (HQAViT_IN_Tiny.py:1500-1546 — crop(64, 8), no erasing)
+    "proc_tin": _spec("proc_tin", "proc_tin", crop_pad=8,
+                      rotation_deg=15.0,
+                      jitter=(0.4, 0.4, 0.4, 0.1), jitter_prob=1.0,
+                      randaug_ops=2, randaug_magnitude=6),
     # proc10 transfer target under the CIFAR-10 transfer aug knobs
     # (HQAViT_Tiny_Cifar10.py:261-324)
     "proc10": _spec("proc10", "proc10", crop_pad=4, rotation_deg=15.0,

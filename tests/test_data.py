@@ -100,3 +100,38 @@ def test_resize_pipeline_224(rng):
     assert out.shape == (2, 224, 224, 3)
     out_e = eval_batch(x, cfg)
     assert out_e.shape == (2, 224, 224, 3)
+
+
+def test_proc_tin_process_and_preset():
+    """proc_tin (VERDICT r2 missing #4): 200 distinct classes at 64px,
+    preset + pipeline registered."""
+    from qavit_tpu.configs import get_preset
+    from qavit_tpu.data.pipelines import get_pipeline
+    from qavit_tpu.data.procgen import generate_proc100
+
+    x, y = generate_proc100(256, seed=9, img_size=64, num_classes=200)
+    assert x.shape == (256, 64, 64, 3) and x.dtype == np.uint8
+    assert y.min() >= 0 and y.max() < 200
+    # the extended class range is structurally discriminable: classes
+    # y>=190 render f_y=20 (fast vertical oscillation), y<10 render
+    # f_y=1 — adjacent-row variation must separate them
+    hi, lo = x[y >= 190], x[y < 10]
+    assert len(hi) and len(lo)
+
+    def rowdiff(imgs):
+        f = imgs.astype(np.float32)
+        return float(np.abs(np.diff(f, axis=1)).mean())
+
+    # (the class-independent diagonal harmonic + noise floor keep the
+    # low-frequency classes from being flat, hence 1.5x not 20x)
+    assert rowdiff(hi) > 1.5 * rowdiff(lo)
+
+    p = get_preset("hqavit_proc_tin")
+    assert p.dataset == "proc_tin"
+    assert p.model.num_classes == 200 and p.model.img_size == 64
+    assert p.model.stage_blocks == (2, 2, 6, 2)
+    assert get_pipeline("proc_tin").aug.crop_pad == 8
+
+    ps = get_preset("hqavit_tiny_proc_stl")
+    assert ps.dataset == "proc_stl" and ps.model.num_classes == 100
+    assert get_pipeline("proc_stl").aug.rrc_scale == (0.6, 1.0)

@@ -160,3 +160,79 @@ def test_hqavit_tiny_in_logits_parity():
                           jnp.asarray(x), train=False, bank_count=0)
     np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=3e-3,
                                rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_qavit_224_v1_logits_and_bank_parity():
+    """QAViT v1 @224 (QAViT.py:654) — the last §2.8 row without torch
+    parity (VERDICT r2 #2).  Covers the v1 bank semantics no other test
+    touches (rate 0.01, update clamp ±0.1, value clamp ±1.0, no warmup —
+    QAViT.py:216-224): logits at eval, then bank K/V after ONE
+    deterministic train-mode forward (dropout/drop-path 0)."""
+    import QAViT as ref
+
+    torch.manual_seed(0)
+    tcfg = ref.QAViTConfig(dropout=0.0, drop_path=0.0)
+    tmodel = ref.QAViT(tcfg).eval()
+    _randomize(tmodel)
+
+    preset = get_preset("qavit_224_v1")
+    mc = preset.model.replace(dtype="float32", dropout=0.0, drop_path=0.0)
+    model, variables = init_model(mc, jax.random.PRNGKey(0))
+    params, _ = import_torch_state_dict(
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()},
+        variables["params"])
+
+    x = np.random.RandomState(4).randn(2, 224, 224, 3).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        ref_logits = tmodel(xt).numpy()
+    ours, _ = model.apply({"params": params}, jnp.asarray(x), train=False,
+                          bank_count=0)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=2e-3,
+                               rtol=1e-3)
+
+    # v1 bank write parity: torch mutates global_k/global_v in-place
+    # during a training forward; our functional carry must land on the
+    # same values
+    tmodel.train()
+    with torch.no_grad():
+        tmodel(xt)
+    bank_k_t = tmodel.global_bank.global_k.detach().numpy()
+    bank_v_t = tmodel.global_bank.global_v.detach().numpy()
+    (_, bank), _ = model.apply(
+        {"params": params}, jnp.asarray(x), train=True, bank_count=0,
+        rngs={"dropout": jax.random.PRNGKey(1)}, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(bank.k), bank_k_t, atol=1e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(bank.v), bank_v_t, atol=1e-4,
+                               rtol=1e-4)
+    # the write must actually have moved the bank
+    assert np.abs(bank_k_t - params["global_bank"]["global_k"]).max() > 0
+
+
+@pytest.mark.slow
+def test_qavit_v2_224_logits_parity():
+    """QAViTv2 @224 (QAViTv2.py:1011): stabilised dwconv/CCFFFN at the
+    196-token geometry (VERDICT r2 #2)."""
+    import QAViTv2 as ref
+
+    torch.manual_seed(0)
+    tmodel = ref.QAViT(ref.QAViTConfig()).eval()
+    _randomize(tmodel)
+
+    preset = get_preset("qavit_v2")
+    mc = preset.model.replace(dtype="float32")
+    model, variables = init_model(mc, jax.random.PRNGKey(0))
+    params, _ = import_torch_state_dict(
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()},
+        variables["params"])
+
+    x = np.random.RandomState(5).randn(2, 224, 224, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = tmodel(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).numpy()
+    ours, _ = model.apply({"params": params}, jnp.asarray(x), train=False,
+                          bank_count=0)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=2e-3,
+                               rtol=1e-3)
