@@ -30,10 +30,12 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from qavit_tpu.kernels import fused_cores as C
 from qavit_tpu.kernels import fused_ref as R
 from qavit_tpu.kernels.fused_pallas import run_unit
+from qavit_tpu.nn.bank import BankState
 
 _TAIL_KEYS = ("norm_swa", "norm_msda", "norm_cga", "norm_cross",
               "compress_swa", "compress_msda", "compress_cga",
@@ -111,10 +113,14 @@ def _pick_tiles(b: int, target: int = 64) -> int:
     return t
 
 
-# per-kernel batch-tile targets: the CGA sweep holds [bt, kv, n, gh] f32
-# score/mask tensors (plus their recompute cotangents in the bwd), so it
-# runs at half the tile of the matmul-dominated kernels
-_TILE_TARGETS = {"swa": 64, "msda": 64, "cga": 32, "cross_tail": 64}
+# per-kernel batch-tile targets, swept on the v5e (scratch/
+# attempt_tile_sweep.py, B=1024 flagship geometry, interleaved 30-iter
+# reps): {64,32,16,32} beat the first-fit {64,64,32,64} by ~2-4% and no
+# probed config beat it; targets ≥128 for msda/cross_tail fail remote
+# compile (VMEM).  The CGA sweep holds [bt, kv, n, gh] f32 score/mask
+# tensors (plus recompute cotangents in the bwd), so it runs at a
+# quarter tile.
+_TILE_TARGETS = {"swa": 64, "msda": 32, "cga": 16, "cross_tail": 32}
 
 
 def _tile_targets(geom) -> dict:
@@ -179,13 +185,26 @@ def fused_quad_block_tpu(p: Dict[str, Any], x, state, dpr, bank_params,
     def finish(state, accum):
         if not train:
             return state
-        return finish_bank_update(bank_cfg, state, accum["pk"],
-                                  accum["pv"], b, pmean_axis)
+        new = finish_bank_update(bank_cfg, state, accum["pk"],
+                                 accum["pv"], b, pmean_axis)
+        # the evolved bank feeds the NEXT unit's kernel: tag it (12 KB)
+        # so the selective-remat backward does not re-run this unit's
+        # forward kernel just to rebuild the bank carry
+        return BankState(checkpoint_name(new.k, "fused_unit_out"),
+                         checkpoint_name(new.v, "fused_unit_out"),
+                         new.count)
 
     # write-path params are const (frozen in torch: outputs feed only
     # .data ops); the bank VALUES are diff inputs — read-gradients flow
     const = (jax.lax.stop_gradient({"bankp": bank_params}) if train
              else {})
+
+    # Tag every cross-unit value on the unit boundary: under the model's
+    # selective remat policy (save_only_these_names("fused_unit_out"),
+    # nn/models.py _scan_stack) these are STORED, so the backward feeds
+    # each unit's custom_vjp from saved residuals instead of re-running
+    # the forward kernels.  Inert without that policy.
+    tag = functools.partial(checkpoint_name, name="fused_unit_out")
 
     bo, ao = run_unit(
         cores["swa"], ("swa", tiles["swa"]) + key,
@@ -193,7 +212,7 @@ def fused_quad_block_tpu(p: Dict[str, Any], x, state, dpr, bank_params,
          "bank": _bank_heads(state, geom)},
         {"x": x}, {}, const,
         smem=smem, tiles=tiles["swa"], interpret=interpret)
-    out_swa, xn = bo["out"], bo["xn"]
+    out_swa, xn = tag(bo["out"]), tag(bo["xn"])
     state = finish(state, ao)
 
     bo, ao = run_unit(
@@ -201,7 +220,7 @@ def fused_quad_block_tpu(p: Dict[str, Any], x, state, dpr, bank_params,
         {"p": prep["msda"], "bank": _bank_heads(state, geom)},
         {"xn": xn}, {}, const,
         smem=smem, tiles=tiles["msda"], interpret=interpret)
-    out_msda = bo["out"]
+    out_msda = tag(bo["out"])
     state = finish(state, ao)
 
     bo, ao = run_unit(
@@ -209,7 +228,7 @@ def fused_quad_block_tpu(p: Dict[str, Any], x, state, dpr, bank_params,
         {"p": prep["cga"], "bank": _bank_full(state)},
         {"xn": xn}, {}, const,
         smem=smem, tiles=tiles["cga"], interpret=interpret)
-    out_cga = bo["out"]
+    out_cga = tag(bo["out"])
     state = finish(state, ao)
 
     bo, _ = run_unit(

@@ -55,12 +55,19 @@ def _scan_stack(block_cls, cfg, pmean_axis, dtype, length: int, name: str):
     target = block_cls
     if cfg.remat:
         # arg 4 (train; 0 = self) is a python bool -> static.
-        # Remat stays ON for the fused-block Pallas path too: although
-        # its custom_vjp already recomputes in-kernel (so remat re-runs
-        # the forward kernels once more in the backward), the measured
-        # step is FASTER with remat (131.9 vs 140.7 ms @depth 8) — the
-        # scan-level residual traffic costs more than the recompute.
-        target = nn.remat(block_cls, static_argnums=(4,))
+        # Plain remat re-runs the whole block forward in the backward;
+        # for the fused-block Pallas path that means every forward
+        # kernel executes twice per step (its custom_vjp then recomputes
+        # a third time in-kernel).  The selective policy below keeps the
+        # remat win over no-remat (131.9 vs 140.7 ms @depth 8 — scan
+        # residual stacking costs more than recompute) while SAVING the
+        # fused units' outputs, so the backward skips the forward-kernel
+        # re-run (the tags are applied in fused_kernels.run-unit glue).
+        policy = None
+        if cfg.attn_impl == "fused_block":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "fused_unit_out")
+        target = nn.remat(block_cls, static_argnums=(4,), policy=policy)
     scanned = nn.scan(
         target,
         variable_axes={"params": 0, "intermediates": 0},

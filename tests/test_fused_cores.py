@@ -449,3 +449,85 @@ def test_multiwindow_full_model_interpret(tiny_plain_cfg, rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=5e-3, atol=5e-4)
     _assert_bank_read_grads(g_pal, g_ref)
+
+
+@pytest.mark.slow
+def test_fused_interpret_224_geometry():
+    """The 224px presets' fused geometry (n=196, window 7 -> nw=4,
+    dilations (1,2,3) -> 270-site gather pooled to 128 landmarks) through
+    the REAL Pallas kernels in interpret mode vs the jnp twin — forward,
+    train forward with bank evolution, and gradients (VERDICT r2 #2: no
+    silently-unvalidated kernel route)."""
+    import flax.linen as nn_linen
+
+    import qavit_tpu.kernels.fused_block as FB
+    from qavit_tpu.kernels.fused_params import declare_block_params
+    from qavit_tpu.nn.bank import BankState, GlobalBankParams
+
+    cfg = get_preset("qavit_224_v1").model.replace(dropout=0.0)
+    g = make_geom(cfg)
+    assert g is not None and g.n == 196 and g.nw == 4 and g.ws2 == 49
+    assert g.msda_keep == 128  # 270 dilated sites -> 135 pooled, capped
+
+    class Holder(nn_linen.Module):
+        @nn_linen.compact
+        def __call__(self):
+            return declare_block_params(cfg, g)
+
+    holder = Holder()
+    p = holder.apply(holder.init({"params": jax.random.PRNGKey(0)}))
+    bank_holder = GlobalBankParams(cfg.bank, cfg.embed_dim)
+    bank_params = bank_holder.apply(
+        bank_holder.init({"params": jax.random.PRNGKey(1)}))
+    state = BankState(bank_params["global_k"].astype(jnp.float32),
+                      bank_params["global_v"].astype(jnp.float32),
+                      jnp.int32(0))
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(2), (4, g.n, g.c))
+    rng = jax.random.PRNGKey(3)
+
+    def run(force, train):
+        FB.FORCE_PALLAS_INTERPRET = force
+        try:
+            return FB.fused_quad_block(p, x, state, 0.0, bank_params,
+                                       cfg.bank, g, jnp.float32, train,
+                                       rng, None)
+        finally:
+            FB.FORCE_PALLAS_INTERPRET = False
+
+    y_ref, _ = run(False, False)
+    y_pal, _ = run(True, False)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-5)
+
+    yt_ref, s_ref = run(False, True)
+    yt_pal, s_pal = run(True, True)
+    np.testing.assert_allclose(np.asarray(yt_pal), np.asarray(yt_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_pal.k), np.asarray(s_ref.k),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(p, bank_kv, x, force):
+        st = BankState(bank_kv[0], bank_kv[1], jnp.int32(0))
+        FB.FORCE_PALLAS_INTERPRET = force
+        try:
+            y, _ = FB.fused_quad_block(p, x, st, 0.0, bank_params,
+                                       cfg.bank, g, jnp.float32, True,
+                                       rng, None)
+        finally:
+            FB.FORCE_PALLAS_INTERPRET = False
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    bank_kv = (state.k, state.v)
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(p, bank_kv, x, False)
+    g_pal = jax.grad(loss, argnums=(0, 1, 2))(p, bank_kv, x, True)
+    for got, want in zip(jax.tree_util.tree_leaves(g_pal),
+                         jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-3, atol=5e-4)
+    # bank READ-gradients (through the carried state) nonzero + matching
+    for got, want in zip(g_pal[1], g_ref[1]):
+        scale = float(jnp.max(jnp.abs(want)))
+        assert scale > 0.0
+        np.testing.assert_allclose(np.asarray(got) / scale,
+                                   np.asarray(want) / scale,
+                                   rtol=0, atol=5e-3)
