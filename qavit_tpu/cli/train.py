@@ -25,6 +25,9 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="qavit-tpu trainer")
     p.add_argument("--preset", required=True)
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--warmup-epochs", type=int, default=None,
+                   help="override warmup (keep the warmup FRACTION sane "
+                        "when shortening a preset's schedule)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--base-lr", type=float, default=None)
     p.add_argument("--data-root", default=None)
@@ -89,6 +92,7 @@ def main(argv=None):
     mc, tc = preset.model, preset.train
     overrides = {}
     for field, key in (("epochs", "epochs"), ("batch_size", "batch_size"),
+                       ("warmup_epochs", "warmup_epochs"),
                        ("base_lr", "base_lr"), ("data_root", "data_root"),
                        ("checkpoint_dir", "checkpoint_dir"),
                        ("log_dir", "log_dir"), ("seed", "seed")):
