@@ -33,11 +33,22 @@ from qavit_tpu.train.state import TrainState, ema_update, swap_bank
 
 def make_gspmd_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
                           mesh: Mesh,
-                          schedule: Optional[Callable] = None):
-    """jit + NamedSharding data parallelism (GSPMD inserts collectives)."""
+                          schedule: Optional[Callable] = None,
+                          debug_grads: bool = False):
+    """jit + NamedSharding data parallelism (GSPMD inserts collectives).
+
+    The single-chip step features compose here unchanged (tested on the
+    8-device virtual mesh): ``tc.gradient_accumulation_steps`` splits the
+    per-device shard into micro-batches inside the jitted body, and
+    ``debug_grads`` adds the per-leaf gradient-norm metrics.  The
+    shard_map variant below does NOT take them — it is the
+    explicit-collectives profiling path; use GSPMD (the default) when
+    accumulation or per-leaf monitoring is needed under a mesh.
+    """
     from qavit_tpu.train.steps import make_train_step
 
-    step = make_train_step(model, tx, mc, tc, schedule, jit=False)
+    step = make_train_step(model, tx, mc, tc, schedule, jit=False,
+                           debug_grads=debug_grads)
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
     return jax.jit(

@@ -229,3 +229,67 @@ def test_shardmap_step_with_fused_block(dp_setup, rng):
     assert int(m["count"]) == 16
     assert np.isfinite(float(m["loss"]))
     assert int(state2.bank_count) == 3 * cfg.depth
+
+
+def test_gspmd_grad_accum_equivalent_on_mesh(dp_setup, rng):
+    """tc.gradient_accumulation_steps composes with the GSPMD mesh step
+    (VERDICT r2 #10): accum=2 equals accum=1 on the same global batch
+    (mixing off so the comparison is deterministic)."""
+    cfg, tc = dp_setup
+    cfg = cfg.replace(dropout=0.0, drop_path=0.0)
+    tc = tc.replace(use_mixup=False, use_cutmix=False)
+    mesh = make_mesh()
+    model, variables = init_model(cfg, rng)
+    sched = make_schedule(tc, 4)
+    tx = make_optimizer(tc, 4, sched)
+
+    def run(accum):
+        tca = tc.replace(gradient_accumulation_steps=accum)
+        state = create_train_state(variables["params"], tx,
+                                   variables.get("batch_stats"),
+                                   use_ema=True)
+        step = make_gspmd_train_step(model, tx, cfg, tca, mesh, sched)
+        x = jax.random.normal(jax.random.PRNGKey(7), (16, 16, 16, 3))
+        y = jnp.tile(jnp.arange(8), 2).astype(jnp.int32)
+        x, y = shard_batch(mesh, x, y)
+        state2, m = step(state, x, y, rng)
+        _, m2 = step(state2, x, y, rng)          # second step: the
+        return state2, m, m2                     # trained params' loss
+
+    s1, m1, m1b = run(1)
+    s2, m2, m2b = run(2)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    # AdamW's step-1 update is ~lr*sign(g): f32 micro-batch summation
+    # noise flips signs where g~0, so assert sign agreement + the
+    # second-step loss (functional equivalence) rather than elementwise
+    # closeness (same rationale as dryrun_multichip)
+    from jax.flatten_util import ravel_pytree
+    p0 = np.asarray(ravel_pytree(variables["params"])[0])
+    d1 = np.asarray(ravel_pytree(s1.params)[0]) - p0
+    d2 = np.asarray(ravel_pytree(s2.params)[0]) - p0
+    assert float(np.mean(np.sign(d1) == np.sign(d2))) > 0.95
+    np.testing.assert_allclose(float(m1b["loss"]), float(m2b["loss"]),
+                               rtol=1e-3)
+
+
+def test_gspmd_debug_grads_on_mesh(dp_setup, rng):
+    """--debug-grads' per-leaf gradient metrics compose with the GSPMD
+    mesh step (VERDICT r2 #10)."""
+    cfg, tc = dp_setup
+    mesh = make_mesh()
+    model, variables = init_model(cfg, rng)
+    sched = make_schedule(tc, 4)
+    tx = make_optimizer(tc, 4, sched)
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"), use_ema=True)
+    step = make_gspmd_train_step(model, tx, cfg, tc, mesh, sched,
+                                 debug_grads=True)
+    x = jax.random.normal(rng, (16, 16, 16, 3))
+    y = jnp.tile(jnp.arange(8), 2).astype(jnp.int32)
+    x, y = shard_batch(mesh, x, y)
+    _, m = step(state, x, y, rng)
+    per_leaf = m["per_leaf"]
+    assert len(per_leaf) > 5
+    for norm in per_leaf.values():
+        assert np.isfinite(float(norm))
