@@ -49,6 +49,11 @@ def parse_args(argv=None):
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="fuse K steps (+ their augmentation) into one "
                         "device dispatch (single-chip fast path)")
+    p.add_argument("--data-placement", default="auto",
+                   choices=["auto", "host", "device"],
+                   help="device = dataset resident in HBM, dispatches "
+                        "ship only indices (auto: on for single-chip "
+                        "runs with <=2 GB of data)")
     p.add_argument("--loader", default="auto",
                    choices=["auto", "python", "native"],
                    help="batch loader: the C++ ring batcher "
@@ -76,8 +81,8 @@ def main(argv=None):
     from qavit_tpu.ckpt import (CheckpointManager, load_for_transfer,
                                 restore_train_state)
     from qavit_tpu.configs import get_preset
-    from qavit_tpu.data import (BatchLoader, augment_batch, eval_batch,
-                                get_pipeline, load_dataset)
+    from qavit_tpu.data import (BatchLoader, IndexLoader, augment_batch,
+                                eval_batch, get_pipeline, load_dataset)
     from qavit_tpu.eval import evaluate
     from qavit_tpu.nn import init_model
     from qavit_tpu.obs import GradientMonitor, TrainingLogger, print_analysis
@@ -120,23 +125,60 @@ def main(argv=None):
     eval_bs = tc.eval_batch_size or 2 * global_batch
 
     spc = max(args.steps_per_call, 1)
-    loader_cls = BatchLoader
-    if args.loader != "python" and jax.process_count() == 1:
-        # the C++ ring batcher (VERDICT r2 weak #4: use it where it
-        # matters) — multi-host feeding stays on the Python loader's
-        # make_array_from_process_local_data path
-        from qavit_tpu import native
-        if native.is_available():
-            loader_cls = native.NativeBatchLoader
-            print("loader: native C++ ring batcher")
-        elif args.loader == "native":
-            raise RuntimeError("--loader native requested but the C++ "
-                               "batcher is unavailable (g++ missing?)")
-    train_loader = loader_cls(ds.train_images, ds.train_labels,
-                              global_batch * spc, shuffle=True,
-                              seed=tc.seed)
-    val_loader = loader_cls(ds.test_images, ds.test_labels, eval_bs,
-                            shuffle=False, drop_last=False)
+    train_bytes = ds.train_images.nbytes + ds.test_images.nbytes
+    resident = args.data_placement == "device" or (
+        args.data_placement == "auto" and mesh is None
+        and jax.process_count() == 1 and train_bytes <= 2 << 30)
+    dev_data = None
+    if resident:
+        # device-RESIDENT data: the whole uint8 dataset is uploaded to
+        # HBM once and every dispatch ships only int32 indices — the
+        # host->device image stream (the dominant epoch cost on a
+        # tunneled chip) disappears
+        print(f"data placement: device-resident "
+              f"({train_bytes / 1e6:.0f} MB in HBM)")
+        dev_data = {
+            "train_x": jax.device_put(ds.train_images),
+            "train_y": jax.device_put(ds.train_labels.astype(np.int32)),
+            "test_x": jax.device_put(ds.test_images),
+            "test_y": jax.device_put(ds.test_labels.astype(np.int32)),
+        }
+        train_loader = IndexLoader(len(ds.train_images),
+                                   global_batch * spc, shuffle=True,
+                                   seed=tc.seed)
+
+        class _ResidentVal:
+            """(idx, host labels) pairs — evaluate()'s loader protocol."""
+
+            def __init__(self, n, bs, labels):
+                self._il = IndexLoader(n, bs, shuffle=False,
+                                       drop_last=False)
+                self._labels = labels
+
+            def __iter__(self):
+                for idx in self._il:
+                    yield idx, self._labels[idx]
+
+        val_loader = _ResidentVal(len(ds.test_images), eval_bs,
+                                  ds.test_labels)
+    else:
+        loader_cls = BatchLoader
+        if args.loader != "python" and jax.process_count() == 1:
+            # the C++ ring batcher (VERDICT r2 weak #4: use it where it
+            # matters) — multi-host feeding stays on the Python loader's
+            # make_array_from_process_local_data path
+            from qavit_tpu import native
+            if native.is_available():
+                loader_cls = native.NativeBatchLoader
+                print("loader: native C++ ring batcher")
+            elif args.loader == "native":
+                raise RuntimeError("--loader native requested but the C++ "
+                                   "batcher is unavailable (g++ missing?)")
+        train_loader = loader_cls(ds.train_images, ds.train_labels,
+                                  global_batch * spc, shuffle=True,
+                                  seed=tc.seed)
+        val_loader = loader_cls(ds.test_images, ds.test_labels, eval_bs,
+                                shuffle=False, drop_last=False)
     steps_per_epoch = len(train_loader) * spc
     if args.max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
@@ -185,6 +227,21 @@ def main(argv=None):
                                                sched)
         eval_step = make_dp_eval_step(model, mc, mesh)
         eval_step_ema = make_dp_eval_step(model, mc, mesh, use_ema=True)
+    elif resident:
+        from qavit_tpu.train.steps import (make_resident_eval_step,
+                                           make_resident_train_chunk)
+        train_step = make_resident_train_chunk(model, tx, mc, tc, aug_cfg,
+                                               num_steps=spc,
+                                               schedule=sched)
+        _ev = make_resident_eval_step(model, mc, aug_cfg)
+        _ev_ema = make_resident_eval_step(model, mc, aug_cfg,
+                                          use_ema=True)
+
+        def eval_step(state, idx, _labels_unused=None, _f=_ev):
+            return _f(state, dev_data["test_x"], dev_data["test_y"], idx)
+
+        def eval_step_ema(state, idx, _labels_unused=None, _f=_ev_ema):
+            return _f(state, dev_data["test_x"], dev_data["test_y"], idx)
     else:
         if spc > 1:
             from qavit_tpu.train.steps import make_fused_train_chunk
@@ -205,7 +262,9 @@ def main(argv=None):
                                  # (and dispatch stall) every step
 
     def prep_eval(images_u8):
-        return eval_batch(images_u8, aug_cfg)
+        if resident:
+            return images_u8       # the "images" are indices; the
+        return eval_batch(images_u8, aug_cfg)  # step normalizes in-dispatch
 
     for epoch in range(start_epoch, tc.epochs + 1):
         t_epoch = time.time()
@@ -248,9 +307,25 @@ def main(argv=None):
                             print(f"     {name}: {norm:.4f}")
             pending.clear()
 
-        for i, (images_u8, labels) in enumerate(train_loader):
+        for i, batch_item in enumerate(train_loader):
             if i * spc >= steps_per_epoch:
                 break
+            if resident:
+                idx_k = np.asarray(batch_item).reshape(spc, global_batch)
+                state, m = train_step(state, dev_data["train_x"],
+                                      dev_data["train_y"], idx_k,
+                                      step_rng)
+                host_step += spc
+                pending.append(m)
+                if i % tc.print_freq == 0:
+                    drain()
+                    print(f"Epoch {epoch:3d} [{i * spc:4d}/"
+                          f"{steps_per_epoch:4d}] | "
+                          f"Loss: {loss_sum / max(steps_done, 1):.4f} | "
+                          f"Acc: {100.0 * correct / max(seen, 1):6.2f}% | "
+                          f"Grad: {last_grad_norm:.4f}")
+                continue
+            images_u8, labels = batch_item
             if spc > 1:
                 # fused path: raw uint8 super-batch [K, B, ...]; aug runs
                 # inside the compiled chunk

@@ -104,3 +104,32 @@ class BatchLoader:
             pending = nxt
         if pending is not None:
             yield pending
+
+
+class IndexLoader:
+    """Loader for the device-RESIDENT data path: the dataset was uploaded
+    to HBM once, so each iteration yields only a device int32 index array
+    [batch] (shuffled per epoch) — a few KB through the host link instead
+    of the images themselves.  Single-host only (a sharded resident
+    dataset belongs to the mesh input path)."""
+
+    def __init__(self, n: int, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True):
+        self.n = n
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.n // self.batch_size
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        idx = np.arange(self.n)
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        bs = self.batch_size
+        for i in range(len(self)):
+            yield idx[i * bs:(i + 1) * bs].astype(np.int32)

@@ -241,3 +241,64 @@ def make_fused_train_chunk(model, tx, mc: ModelConfig, tc: TrainingConfig,
     if jit:
         chunk = jax.jit(chunk, donate_argnums=(0,) if tc.donate else ())
     return chunk
+
+
+def make_resident_train_chunk(model, tx, mc: ModelConfig,
+                              tc: TrainingConfig, aug_cfg,
+                              num_steps: int = 8,
+                              schedule: Optional[Callable] = None,
+                              jit: bool = True):
+    """Device-RESIDENT variant of :func:`make_fused_train_chunk`.
+
+    The whole training set lives in HBM as one uint8 array (CIFAR-scale
+    datasets are ≤1.5 GB — trivial against 16 GB); the host ships only a
+    ``[K, B]`` int32 index array per dispatch (~KBs).  On a tunneled or
+    PCIe-attached accelerator this removes the per-epoch image upload
+    entirely — the TPU-native answer to the reference's pinned-memory +
+    worker-prefetch input discipline (HQAViT_CIFAR100.py:1312-1331):
+    ``chunk(state, data_u8 [N,H,W,3], labels [N], idx [K,B], rng)``.
+
+    ``data_u8``/``labels`` are passed (not closed over) so they stay
+    ordinary device-resident buffers instead of program constants.
+    """
+    from qavit_tpu.data.augment import augment_image
+
+    body = make_train_step(model, tx, mc, tc, schedule, jit=False)
+
+    def chunk(state: TrainState, data_u8, labels, idx, rng):
+        aug_base = jax.random.fold_in(rng, 0x5EED)
+
+        def scan_body(state, idx_k):
+            imgs_u8 = jnp.take(data_u8, idx_k, axis=0)
+            tgts = jnp.take(labels, idx_k, axis=0)
+            aug_rng = jax.random.fold_in(aug_base, state.step)
+            rngs = jax.random.split(aug_rng, imgs_u8.shape[0])
+            images = jax.vmap(
+                lambda r, im: augment_image(r, im, aug_cfg))(rngs, imgs_u8)
+            state, m = body(state, images, tgts, rng)
+            return state, m
+
+        return jax.lax.scan(scan_body, state, idx)
+
+    if jit:
+        chunk = jax.jit(chunk, donate_argnums=(0,) if tc.donate else ())
+    return chunk
+
+
+def make_resident_eval_step(model, mc: ModelConfig, aug_cfg,
+                            jit: bool = True, use_ema: bool = False):
+    """Device-resident eval: gather + normalize + forward in one dispatch.
+    ``eval_step(state, data_u8 [N,...], labels [N], idx [B]) -> metrics``
+    (host ships only the index vector)."""
+    from qavit_tpu.data.augment import eval_batch
+
+    body = make_eval_step(model, mc, jit=False, use_ema=use_ema)
+
+    def eval_step(state: TrainState, data_u8, labels, idx):
+        imgs_u8 = jnp.take(data_u8, idx, axis=0)
+        tgts = jnp.take(labels, idx, axis=0)
+        return body(state, eval_batch(imgs_u8, aug_cfg), tgts)
+
+    if jit:
+        eval_step = jax.jit(eval_step)
+    return eval_step

@@ -315,3 +315,60 @@ def test_gradient_free_params_not_decayed(tiny_cfg, tiny_bundle, rng):
         ns_b = blk(state.params, stage)["norm_swa"]["scale"]
         ns_a = blk(state2.params, stage)["norm_swa"]["scale"]
         assert not np.array_equal(np.asarray(ns_b), np.asarray(ns_a))
+
+
+def test_resident_chunk_matches_fused_chunk(tiny_cfg, tiny_bundle,
+                                            tiny_train_cfg, rng):
+    """Device-resident chunk (dataset in HBM, dispatch ships indices)
+    computes EXACTLY the host-fed fused chunk on the same gathered data."""
+    from qavit_tpu.data import AugConfig
+    from qavit_tpu.train.steps import (make_fused_train_chunk,
+                                       make_resident_train_chunk)
+
+    model, variables = tiny_bundle
+    tc = tiny_train_cfg
+    sched = make_schedule(tc, 10)
+    tx = make_optimizer(tc, 10, sched)
+
+    def fresh():
+        return create_train_state(variables["params"], tx,
+                                  variables.get("batch_stats"),
+                                  use_ema=True)
+
+    aug = AugConfig(mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25),
+                    crop_pad=2, randaug_ops=1, randaug_magnitude=5,
+                    erasing_prob=0.2)
+    k, b, n = 2, 4, 32
+    data = jax.random.randint(jax.random.PRNGKey(9), (n, 16, 16, 3),
+                              0, 256, jnp.uint8)
+    labels = (jnp.arange(n) % 10).astype(jnp.int32)
+    idx = jax.random.permutation(jax.random.PRNGKey(10), n)[: k * b]
+    idx = idx.reshape(k, b).astype(jnp.int32)
+
+    chunk_h = make_fused_train_chunk(model, tx, tiny_cfg, tc, aug,
+                                     num_steps=k)
+    chunk_r = make_resident_train_chunk(model, tx, tiny_cfg, tc, aug,
+                                        num_steps=k)
+    sh, mh = chunk_h(fresh(), jnp.take(data, idx.reshape(-1), 0)
+                     .reshape(k, b, 16, 16, 3),
+                     jnp.take(labels, idx.reshape(-1), 0).reshape(k, b),
+                     rng)
+    sr, mr = chunk_r(fresh(), data, labels, idx, rng)
+    np.testing.assert_allclose(np.asarray(mr["loss"]),
+                               np.asarray(mh["loss"]), rtol=1e-6)
+    for a, c in zip(jax.tree_util.tree_leaves(sr.params),
+                    jax.tree_util.tree_leaves(sh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_index_loader_covers_epoch():
+    from qavit_tpu.data import IndexLoader
+
+    il = IndexLoader(103, 10, shuffle=True, seed=0)
+    assert len(il) == 10
+    seen = np.concatenate(list(il))
+    assert len(seen) == 100
+    assert len(np.unique(seen)) == 100      # no repeats within an epoch
+    seen2 = np.concatenate(list(il))
+    assert not np.array_equal(seen, seen2)  # reshuffled next epoch
