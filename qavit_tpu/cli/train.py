@@ -254,7 +254,8 @@ def main(argv=None):
         eval_step = make_eval_step(model, mc)
         eval_step_ema = make_eval_step(model, mc, use_ema=True)
 
-    logger = TrainingLogger(tc.log_dir, track_ema=tc.use_ema)
+    logger = TrainingLogger(tc.log_dir, track_ema=tc.use_ema,
+                            resume=bool(args.resume))
     monitor = GradientMonitor()
     ckpts = CheckpointManager(tc.checkpoint_dir, mc, tc, tc.save_freq)
     step_rng = jax.random.PRNGKey(tc.seed + 1)
@@ -361,6 +362,7 @@ def main(argv=None):
                                      for n, v in monitor.top_layers(5))
                     print(f"          top grad layers: {tops}")
         drain()
+        t_train = time.time() - t_epoch
 
         train_loss = loss_sum / max(steps_done, 1)
         train_acc = 100.0 * correct / max(seen, 1)
@@ -370,6 +372,7 @@ def main(argv=None):
                    "lr": float(sched(state.step)),
                    "grad_norm": last_grad_norm}
         if epoch % tc.eval_freq == 0:
+            t0 = time.time()
             r = evaluate(eval_step, state, val_loader, preprocess=prep_eval)
             metrics.update(val_loss=r["loss"], val_acc=r["top1"])
             ema_val_acc = None
@@ -381,11 +384,15 @@ def main(argv=None):
                                ema_val_acc=re["top1"],
                                ema_param_dist=float(pd))
                 ema_val_acc = re["top1"]
+            t_eval = time.time() - t0
             metrics["epoch_time"] = time.time() - t_epoch
             logger.log_epoch(epoch, metrics)
             logger.print_epoch_summary(epoch, metrics)
+            t0 = time.time()
             saved = ckpts.maybe_save(state, epoch, metrics["val_acc"],
                                      ema_val_acc)
+            print(f"  [phases] train {t_train:.1f}s | eval {t_eval:.1f}s "
+                  f"| ckpt {time.time() - t0:.1f}s")
             if saved["best"]:
                 print(f"Best model saved! Val Acc: {ckpts.best_acc:.2f}")
             if saved["best_ema"]:

@@ -21,7 +21,8 @@ EMA_KEYS = ("ema_val_loss", "ema_val_acc", "ema_param_dist")
 
 
 class TrainingLogger:
-    def __init__(self, log_dir: str, track_ema: bool = False):
+    def __init__(self, log_dir: str, track_ema: bool = False,
+                 resume: bool = False):
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         keys = BASE_KEYS + (EMA_KEYS if track_ema else ())
@@ -29,8 +30,26 @@ class TrainingLogger:
         self.best_val_acc = 0.0
         self.best_ema_val_acc = 0.0
         self.start_time = time.time()
+        if resume:
+            # a --resume'd run continues the SAME history file instead of
+            # overwriting the pre-interruption epochs
+            prior = self.log_dir / "training_metrics.json"
+            if prior.exists():
+                with open(prior) as f:
+                    d = json.load(f)
+                for k, v in d.get("history", {}).items():
+                    if k in self.history:
+                        self.history[k] = list(v)
+                self.best_val_acc = float(d.get("best_val_acc", 0.0))
+                self.start_time -= float(d.get("total_time", 0.0))
 
     def log_epoch(self, epoch: int, metrics: Dict[str, float]) -> None:
+        # resume overlap: drop any logged epochs >= this one (the resumed
+        # run re-trains them)
+        if self.history["epoch"] and self.history["epoch"][-1] >= epoch:
+            keep = sum(1 for e in self.history["epoch"] if e < epoch)
+            for k in self.history:
+                self.history[k] = self.history[k][:keep]
         self.history["epoch"].append(epoch)
         for key, value in metrics.items():
             if key in self.history:

@@ -135,3 +135,60 @@ def test_proc_tin_process_and_preset():
     ps = get_preset("hqavit_tiny_proc_stl")
     assert ps.dataset == "proc_stl" and ps.model.num_classes == 100
     assert get_pipeline("proc_stl").aug.rrc_scale == (0.6, 1.0)
+
+
+def test_translate_integer_matches_roll():
+    """Matmul-resample translate at integer pixels == exact shift with
+    zero fill (the behaviour the flat-gather implementation had)."""
+    from qavit_tpu.data.augment import translate_x, translate_y
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(8, 8, 3).astype(np.float32))
+    # out(y, x) = in(y, x + 2): shift left, zero-fill on the right
+    out = np.asarray(translate_x(img, jnp.float32(2.0)))
+    np.testing.assert_allclose(out[:, :-2], np.asarray(img)[:, 2:],
+                               atol=1e-6)
+    np.testing.assert_allclose(out[:, -2:], 0.0, atol=1e-6)
+    out = np.asarray(translate_y(img, jnp.float32(-3.0)))
+    np.testing.assert_allclose(out[3:], np.asarray(img)[:-3], atol=1e-6)
+    np.testing.assert_allclose(out[:3], 0.0, atol=1e-6)
+
+
+def test_rotate_matches_direct_bilinear():
+    """Paeth 3-shear rotation (matmul resamples) vs direct bilinear
+    inverse-map rotation (gather reference) at the aug pipelines' 15 deg:
+    interiors agree closely (the triple interpolation adds only a small
+    extra smoothing on a smooth image)."""
+    from qavit_tpu.data.augment import rotate
+
+    h = w = 16
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.stack([np.sin(xx / 4.0), np.cos(yy / 5.0),
+                    (xx + yy) / 30.0], -1).astype(np.float32)
+
+    def direct(img, deg):
+        rad = np.deg2rad(deg)
+        cos, sin = np.cos(rad), np.sin(rad)
+        gy = yy - (h - 1) / 2
+        gx = xx - (w - 1) / 2
+        sx = cos * gx + sin * gy + (w - 1) / 2
+        sy = -sin * gx + cos * gy + (h - 1) / 2
+        x0, y0 = np.floor(sx), np.floor(sy)
+        wx, wy = sx - x0, sy - y0
+
+        def g(yi, xi):
+            valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            v = img[np.clip(yi, 0, h - 1).astype(int),
+                    np.clip(xi, 0, w - 1).astype(int)]
+            return np.where(valid[..., None], v, 0.0)
+
+        return ((1 - wy)[..., None] * ((1 - wx)[..., None] * g(y0, x0)
+                                       + wx[..., None] * g(y0, x0 + 1))
+                + wy[..., None] * ((1 - wx)[..., None] * g(y0 + 1, x0)
+                                   + wx[..., None] * g(y0 + 1, x0 + 1)))
+
+    got = np.asarray(rotate(jnp.asarray(img), jnp.float32(15.0)))
+    want = direct(img, 15.0)
+    # compare away from the zero-fill borders
+    np.testing.assert_allclose(got[3:-3, 3:-3], want[3:-3, 3:-3],
+                               atol=0.06)
