@@ -111,8 +111,37 @@ UNITS = {
                     "cga": outs[2]}),
 }
 
+SCAN_N = 20
+
+
+def scan_time(fn, iters=5):
+    """Time fn via a SCAN_N-iteration lax.scan inside ONE dispatch, so
+    per-call tunnel latency (~2 ms) cannot pollute per-kernel numbers.
+    ``fn(eps)`` must thread the carried scalar into its inputs — a
+    loop-carried data dependence — or XLA hoists the body out of the
+    while loop and the scan times nothing."""
+    def body(carry, _):
+        out = fn(carry * 1e-20)
+        leaves = [v.astype(jnp.float32).sum()
+                  for v in jax.tree_util.tree_leaves(out)]
+        return sum(leaves), None
+
+    @jax.jit
+    def run():
+        s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=SCAN_N)
+        return s
+
+    float(run())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        v = run()
+    float(v)
+    return (time.perf_counter() - t0) / (iters * SCAN_N) * 1e3
+
+
+rows = []
 for name, (diff, batch) in UNITS.items():
-    def fwd(diff, batch, name=name):
+    def fwd(diff=diff, batch=batch, name=name):
         bo, ao = run_unit(cores[name], (name, tiles[name]) + key, diff,
                           batch, {}, const, smem=smem, tiles=tiles[name])
         return bo
@@ -124,8 +153,22 @@ for name, (diff, batch) in UNITS.items():
         s = s + sum(jnp.sum(v.astype(jnp.float32)) for v in ao.values())
         return s
 
-    tf = timeit(jax.jit(fwd), diff, batch)
-    tg = timeit(lambda d, b: jax.jit(jax.grad(loss, argnums=(0, 1)))(
-        d, b)[1], diff, batch)
+    grad_fn = jax.grad(loss, argnums=(0, 1))
+
+    def peps(b, eps):
+        return {k: v + eps for k, v in b.items()}
+
+    tf = scan_time(lambda e, d=diff, b=batch: fwd(d, peps(b, e)))
+    tg = scan_time(lambda e, d=diff, b=batch: grad_fn(d, peps(b, e)))
+    rows.append((name, tf, tg))
     print(f"{name:10s} fwd: {tf:6.2f} ms   fwd+bwd: {tg:6.2f} ms  "
-          f"(tiles={tiles[name]})")
+          f"(tiles={tiles[name]})", flush=True)
+
+tot_f = sum(r[1] for r in rows)
+tot_g = sum(r[2] for r in rows)
+print(f"sum of units: fwd {tot_f:.2f} ms  fwd+bwd {tot_g:.2f} ms")
+
+
+bg = jax.grad(block_loss, argnums=(0, 1))
+print(f"block (scan): fwd {scan_time(lambda e: block_fwd(p, x + e, state)):.2f} ms  "
+      f"fwd+bwd {scan_time(lambda e: bg(p, x + e, state)):.2f} ms")
