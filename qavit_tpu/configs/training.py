@@ -52,6 +52,13 @@ class TrainingConfig:
     # one clipped optimizer/EMA update on the averaged gradients.
     gradient_accumulation_steps: int = 1
 
+    # Flattened-parameter AdamW+clip+EMA (qavit_tpu/train/flat_optim.py):
+    # same math as the per-leaf chain, issued as a few big vector ops
+    # instead of ~1500 tiny fused loops over 487 leaves.  Equivalence is
+    # tested; resume requires the same setting the checkpoint was written
+    # with (the optimizer-state layout differs).
+    flat_optimizer: bool = False
+
     # Gradient control (HQAViT_CIFAR100.py:97, :1415-1434)
     max_grad_norm: float = 0.5
     grad_clip_mode: str = "norm"     # "norm" | "value"

@@ -105,14 +105,23 @@ def make_shardmap_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
         if has_bn:
             new_bs = jax.lax.pmean(new_bs, DATA_AXIS)
 
-        grads, grad_norm = apply_clipping(grads, tc)
+        flat = bool(getattr(tc, "flat_optimizer", False))
+        if not flat:
+            grads, grad_norm = apply_clipping(grads, tc)
         params = swap_bank(state.params, bank)
         updates, opt_state = tx.update(grads, state.opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        if flat:
+            grad_norm = opt_state.grad_norm
 
         if state.ema_params is not None:
-            new_ema = ema_update(state.ema_params, new_params,
-                                 state.ema_decay)
+            if flat:
+                from qavit_tpu.train.flat_optim import flat_ema_update
+                new_ema = flat_ema_update(state.ema_params, new_params,
+                                          state.ema_decay)
+            else:
+                new_ema = ema_update(state.ema_params, new_params,
+                                     state.ema_decay)
             new_ema_bs = new_bs
         else:
             new_ema, new_ema_bs = None, None
@@ -124,9 +133,11 @@ def make_shardmap_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
 
         metrics = {"loss": loss, "correct": correct, "count": count,
                    "grad_norm": grad_norm,
-                   "param_norm": (optax.global_norm(new_params)
-                                  if tc.log_param_norm
-                                  else jnp.zeros((), jnp.float32))}
+                   "param_norm": (
+                       (opt_state.param_norm if flat
+                        else optax.global_norm(new_params))
+                       if tc.log_param_norm
+                       else jnp.zeros((), jnp.float32))}
         if schedule is not None:
             metrics["lr"] = schedule(state.step)
 

@@ -181,6 +181,12 @@ def make_optimizer(tc: TrainingConfig, steps_per_epoch: int,
     if schedule is None:
         schedule = make_schedule(tc, steps_per_epoch)
 
+    if getattr(tc, "flat_optimizer", False):
+        # the raveled-vector fast path owns clipping too — the train step
+        # skips apply_clipping when tc.flat_optimizer is set
+        from qavit_tpu.train.flat_optim import make_flat_adamw
+        return make_flat_adamw(tc, schedule)
+
     chain = []
     chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
 

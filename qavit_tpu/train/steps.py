@@ -100,7 +100,9 @@ def make_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
             loss = loss_sum / accum
             bank = jax.tree.map(lambda x: x[-1], banks)
 
-        grads, grad_norm = apply_clipping(grads, tc)
+        flat = bool(getattr(tc, "flat_optimizer", False))
+        if not flat:
+            grads, grad_norm = apply_clipping(grads, tc)
 
         # torch order: the bank's forward-time update is already in the
         # params when optimizer.step() runs (HQAViT_CIFAR100.py:315-321 vs
@@ -108,10 +110,18 @@ def make_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
         params = swap_bank(state.params, bank)
         updates, opt_state = tx.update(grads, state.opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        if flat:
+            # the flat transform owns clipping; norms ride in its state
+            grad_norm = opt_state.grad_norm
 
         if state.ema_params is not None:
-            new_ema = ema_update(state.ema_params, new_params,
-                                 state.ema_decay)
+            if flat:
+                from qavit_tpu.train.flat_optim import flat_ema_update
+                new_ema = flat_ema_update(state.ema_params, new_params,
+                                          state.ema_decay)
+            else:
+                new_ema = ema_update(state.ema_params, new_params,
+                                     state.ema_decay)
             new_ema_bs = new_bs  # buffers copied, not averaged (:151-156)
         else:
             new_ema, new_ema_bs = None, None
@@ -123,13 +133,16 @@ def make_train_step(model, tx, mc: ModelConfig, tc: TrainingConfig,
             "correct": correct,
             "count": jnp.asarray(targets.shape[0], jnp.int32),
             "grad_norm": grad_norm,
-            "param_norm": (optax.global_norm(new_params)
-                           if tc.log_param_norm
-                           else jnp.zeros((), jnp.float32)),
+            "param_norm": (
+                (opt_state.param_norm if flat
+                 else optax.global_norm(new_params))
+                if tc.log_param_norm
+                else jnp.zeros((), jnp.float32)),
         }
         if debug_grads:
             # per-leaf norms feed GradientMonitor's top-layer explosion
-            # report (HQAViT_CIFAR100.py:190-250)
+            # report (HQAViT_CIFAR100.py:190-250).  On the flat path the
+            # stats see pre-clip gradients (clipping lives inside tx).
             from qavit_tpu.obs.monitor import grad_stats
             metrics["per_leaf"] = grad_stats(grads)["per_leaf"]
         if schedule is not None:
