@@ -28,8 +28,10 @@ BASELINE_IMG_PER_SEC = 379.0
 
 def main() -> None:
     # the Pallas fused-block path is the default (7,861 img/s vs 5,659
-    # on the XLA path); `python bench.py default` benches the XLA path
+    # on the XLA path); `python bench.py auto` benches the XLA path
     attn_impl = sys.argv[1] if len(sys.argv) > 1 else "fused_block"
+    if attn_impl == "default":   # historical spelling of the dispatch
+        attn_impl = "auto"
     from qavit_tpu.configs import get_preset
     from qavit_tpu.nn import init_model
     from qavit_tpu.train import (create_train_state, make_optimizer,

@@ -67,9 +67,15 @@ def parse_args(argv=None):
     p.add_argument("--grad-accum", type=int, default=None,
                    help="gradient accumulation micro-steps per update")
     p.add_argument("--attn-impl", default=None,
-                   choices=["default", "fused_block"],
+                   choices=["default", "auto", "xla", "pallas",
+                            "fused_block"],
                    help="override ModelConfig.attn_impl (fused_block = "
-                        "whole-block Pallas kernels)")
+                        "whole-block Pallas kernels; default = auto "
+                        "per-shape dispatch)")
+    p.add_argument("--flat-optimizer", action="store_true",
+                   help="raveled-vector AdamW+clip+EMA (same math, ~1500 "
+                        "fewer kernel launches per step; resume needs the "
+                        "same setting the checkpoint was written with)")
     return p.parse_args(argv)
 
 
@@ -106,9 +112,13 @@ def main(argv=None):
             overrides[key] = v
     if args.grad_accum is not None:
         overrides["gradient_accumulation_steps"] = args.grad_accum
+    if args.flat_optimizer:
+        overrides["flat_optimizer"] = True
     tc = tc.replace(**overrides)
     if args.attn_impl is not None:
-        mc = mc.replace(attn_impl=args.attn_impl)
+        # "default" is the historical spelling of the per-shape dispatch
+        mc = mc.replace(attn_impl="auto" if args.attn_impl == "default"
+                        else args.attn_impl)
 
     print(f"preset={args.preset} model={mc.name} dataset={preset.dataset}")
 

@@ -100,6 +100,13 @@ def attention(q, k, v, dropout_rate: float = 0.0, deterministic: bool = True,
       impl: "auto" | "xla" | "pallas"
     """
     train_dropout = dropout_rate > 0.0 and not deterministic
+    if impl == "fused_block":
+        # "fused_block" is a BLOCK-level impl (kernels/fused_block.py);
+        # when the flax branch path runs anyway (param init, rollout
+        # with intermediates, unsupported geometry) the per-attention
+        # choice falls back to the per-shape dispatch.  Before this
+        # mapping the string fell through to the raw Pallas call.
+        impl = "auto"
     if impl == "auto":
         # the Pallas fwd pairs with an XLA-recompute bwd that cannot
         # replay in-kernel dropout masks — train-with-dropout stays XLA
@@ -107,6 +114,9 @@ def attention(q, k, v, dropout_rate: float = 0.0, deterministic: bool = True,
                 else "xla")
     if impl == "xla":
         return xla_attention(q, k, v, dropout_rate, deterministic, rng)
+    if impl != "pallas":
+        raise ValueError(f"unknown attention impl {impl!r}; "
+                         "expected auto | xla | pallas")
     if train_dropout:
         # explicit pallas request with dropout: fwd-only semantics
         b, n_q, h, d = q.shape

@@ -49,6 +49,16 @@ def test_attention_dispatch_cpu_uses_xla(rng):
     assert out.shape == q.shape
 
 
+def test_attention_rejects_unknown_impl(rng):
+    # unknown impl strings must fail loudly, not silently route to the
+    # raw Pallas kernel (a "default" typo used to reach pallas_call and
+    # die with a cryptic JVP NotImplementedError under grad)
+    import pytest
+    q = jax.random.normal(rng, (1, 16, 1, 16))
+    with pytest.raises(ValueError, match="unknown attention impl"):
+        attention(q, q, q, impl="default")
+
+
 def test_attention_dropout_scales(rng):
     q = jax.random.normal(rng, (1, 32, 1, 16))
     k = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 1, 16))
