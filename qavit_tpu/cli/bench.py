@@ -20,6 +20,10 @@ def main(argv=None):
     p.add_argument("--preset", default="hqavit_c100")
     p.add_argument("--train", action="store_true",
                    help="benchmark the train step instead of inference")
+    p.add_argument("--tta", action="store_true",
+                   help="benchmark the 5-view TTA ensemble (uint8 in, "
+                        "softmax-averaged probs out) instead of the "
+                        "plain forward")
     p.add_argument("--batch-sizes", default="64,256,1024")
     args = p.parse_args(argv)
     enable_compilation_cache()
@@ -47,6 +51,29 @@ def main(argv=None):
         def fn(images, labels):
             _, m = step(state, images, labels, jax.random.PRNGKey(0))
             return m["loss"]
+    elif args.tta:
+        # the reference's eval-side latency harness times inference;
+        # this is the 5-view ensemble actually used for headline
+        # accuracy (run_performance_tests, QAViTv2.py:1153-1203 +
+        # HQAViT_C100_Finetune.py:106-132)
+        from qavit_tpu.data.pipelines import get_pipeline
+        from qavit_tpu.eval.tta import make_tta_preprocessors
+        aug_cfg = get_pipeline(preset.dataset).aug
+        preps = make_tta_preprocessors(aug_cfg)
+        fwd = jax.jit(lambda v, x: jax.nn.softmax(
+            model.apply(v, x, train=False, bank_count=0)[0]))
+
+        def fn(images, labels):
+            probs = 0.0
+            for prep in preps:
+                probs = probs + fwd(variables, prep(images))
+            return probs
+
+        def make_batch(bs):
+            return (jax.random.randint(
+                jax.random.PRNGKey(1),
+                (bs, mc.img_size, mc.img_size, 3), 0, 256, jnp.uint8),
+                jnp.zeros((bs,), jnp.int32))
     else:
         fwd = jax.jit(lambda v, x: model.apply(v, x, train=False,
                                                bank_count=0)[0])
@@ -54,10 +81,11 @@ def main(argv=None):
         def fn(images, labels):
             return fwd(variables, images)
 
-    def make_batch(bs):
-        return (jax.random.normal(jax.random.PRNGKey(1),
-                                  (bs, mc.img_size, mc.img_size, 3)),
-                jnp.zeros((bs,), jnp.int32))
+    if not args.tta:
+        def make_batch(bs):
+            return (jax.random.normal(jax.random.PRNGKey(1),
+                                      (bs, mc.img_size, mc.img_size, 3)),
+                    jnp.zeros((bs,), jnp.int32))
 
     sizes = [int(s) for s in args.batch_sizes.split(",")]
     rows = batch_size_sweep(make_batch, fn, sizes)
