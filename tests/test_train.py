@@ -150,11 +150,16 @@ def test_swap_bank(tiny_cfg, tiny_bundle, rng):
     assert swapped["head"] is params["head"]
 
 
-def test_scanned_train_step(tiny_cfg, tiny_bundle, tiny_train_cfg, rng):
+@pytest.mark.parametrize("flat", [False, True])
+def test_scanned_train_step(tiny_cfg, tiny_bundle, tiny_train_cfg, rng,
+                            flat):
+    # flat=True pins the --steps-per-call + --flat-optimizer CLI
+    # composition (the scanned body wraps make_train_step, so the flat
+    # transform must thread through the scan carry)
     from qavit_tpu.train.steps import make_scanned_train_step
 
     model, variables = tiny_bundle
-    tc = tiny_train_cfg
+    tc = tiny_train_cfg.replace(flat_optimizer=flat)
     sched = make_schedule(tc, 10)
     tx = make_optimizer(tc, 10, sched)
     state = create_train_state(variables["params"], tx,
