@@ -32,6 +32,15 @@ def main() -> None:
     attn_impl = sys.argv[1] if len(sys.argv) > 1 else "fused_block"
     if attn_impl == "default":   # historical spelling of the dispatch
         attn_impl = "auto"
+    # `python bench.py <impl> flat` benches the flat (raveled-vector)
+    # AdamW+clip+EMA (same math, one update kernel instead of ~1500 —
+    # equivalence pinned in tests/test_flat_optim.py).  Measured on the
+    # v5e it is ~2% SLOWER inside the scanned whole-step program (121.2
+    # vs 118.6 ms/step) — XLA fuses the per-leaf chain anyway and the
+    # ravel/unravel adds layout copies — so the per-leaf optax chain
+    # stays the benched default; flat's win is compile time and
+    # dispatch-bound (unscanned) loops (docs/PERF_NOTES.md).
+    flat = len(sys.argv) > 2 and sys.argv[2] == "flat"
     from qavit_tpu.configs import get_preset
     from qavit_tpu.nn import init_model
     from qavit_tpu.train import (create_train_state, make_optimizer,
@@ -41,6 +50,7 @@ def main() -> None:
     preset = get_preset("hqavit_c100")
     mc, tc = preset.model, preset.train
     mc = mc.replace(attn_impl=attn_impl)
+    tc = tc.replace(flat_optimizer=flat)
 
     model, variables = init_model(mc, jax.random.PRNGKey(0))
     steps_per_epoch = 50_000 // tc.batch_size
@@ -90,11 +100,11 @@ def main() -> None:
     ey = jnp.zeros((eb,), jnp.int32)
     for _ in range(2):
         em = eval_step(state_e, ex, ey)
-    float(em["loss"])
+    float(em["loss_sum"])
     t0 = time.perf_counter()
     for _ in range(10):
         em = eval_step(state_e, ex, ey)
-    float(em["loss"])
+    float(em["loss_sum"])
     edt = (time.perf_counter() - t0) / 10
     eval_img_per_sec = eb / edt
 
