@@ -28,6 +28,9 @@ def parse_args(argv=None):
     p.add_argument("--out-dir", default="./eval_out")
     p.add_argument("--gradcam", action="store_true")
     p.add_argument("--gradcam-images", type=int, default=30)
+    p.add_argument("--rollout", action="store_true",
+                   help="write attention-rollout overlay PNGs "
+                        "(hybrid TokenLearner models)")
     p.add_argument("--tta", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     return p.parse_args(argv)
@@ -110,6 +113,29 @@ def main(argv=None):
                                    str(out_dir / "gradcam"),
                                    args.gradcam_images)
         print(f"wrote {len(written)} grad-cam pairs")
+
+    if args.rollout:
+        # attention-rollout overlays (BASELINE.json names the hook; the
+        # reference repo lacks it — see interpret/rollout.py)
+        from qavit_tpu.interpret import attention_rollout
+        from qavit_tpu.interpret.gradcam import save_gradcam_overlay
+
+        n_img = args.gradcam_images
+        imgs_u8 = ds.test_images[:n_img]
+        imgs_norm = np.asarray(eval_batch(jnp.asarray(imgs_u8), pipe.aug))
+        variables = {"params": state.params,
+                     **({"batch_stats": state.batch_stats}
+                        if state.batch_stats else {})}
+        n_written = 0
+        for idx in range(len(imgs_u8)):
+            sal = attention_rollout(model, variables, imgs_norm[idx])
+            pred = int(preds[idx])
+            true = int(ds.test_labels[idx])
+            save_gradcam_overlay(sal, np.asarray(imgs_u8[idx]),
+                                 str(out_dir /
+                                     f"rollout_{idx}_pred{pred}_true{true}"))
+            n_written += 1
+        print(f"wrote {n_written} attention-rollout pairs")
 
     if args.tta:
         from qavit_tpu.eval import make_tta_preprocessors

@@ -199,13 +199,34 @@ def _hqavit_proc100() -> Preset:
                   "proc100_hqa")
 
 
+def _hqavit_proc100_hard() -> Preset:
+    """Flagship recipe on the shortcut-free proc100_hard substrate
+    (per-sample palette, wrong-class distractor, occlusion) — built to
+    show a non-saturating learning curve over a full schedule
+    (VERDICT r2 missing #1: "harder proc tasks")."""
+    p = _hqavit_c100()
+    return Preset(p.model.replace(name="hqavit_proc100_hard"), p.train,
+                  "proc100_hard_hqa")
+
+
+def _qavit_v2_extreme_proc100() -> Preset:
+    """EXTREME recipe (QAViTV2_EXTREME.py:41,1259) on the proc100
+    substrate — the pure-QAViT family (64 tokens, multi-window SWA,
+    no TokenLearner/CNN stem) trained for real without egress."""
+    p = _qavit_v2_extreme()
+    return Preset(p.model.replace(name="qavit_v2_extreme_proc100"),
+                  p.train, "proc100_deit")
+
+
 PRESETS = {
     "qavit_224_v1": _qavit_224_v1,
+    "qavit_v2_extreme_proc100": _qavit_v2_extreme_proc100,
     "qavit_v2": _qavit_v2,
     "qavit_v2_c100": _qavit_v2_c100,
     "qavit_v2_extreme": _qavit_v2_extreme,
     "hqavit_c100": _hqavit_c100,
     "hqavit_proc100": _hqavit_proc100,
+    "hqavit_proc100_hard": _hqavit_proc100_hard,
     "hqavit_tiny_proc_stl": _hqavit_tiny_proc_stl,
     "hqavit_proc_tin": _hqavit_proc_tin,
     "hqavit_v2_c100": _hqavit_v2_c100,

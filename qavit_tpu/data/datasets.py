@@ -177,6 +177,13 @@ def _load_proc100(root: str) -> Dataset:
     return Dataset("proc100", tr_x, tr_y, te_x, te_y, 100)
 
 
+def _load_proc100_hard(root: str) -> Dataset:
+    from qavit_tpu.data.procgen import load_or_generate_proc100_hard
+
+    tr_x, tr_y, te_x, te_y = load_or_generate_proc100_hard(root)
+    return Dataset("proc100_hard", tr_x, tr_y, te_x, te_y, 100)
+
+
 def _load_proc10(root: str) -> Dataset:
     from qavit_tpu.data.procgen import load_or_generate_proc10
 
@@ -209,13 +216,14 @@ def load_dataset(name: str, data_root: str = "./data",
         "stl10_unlabeled": lambda: _load_stl10(data_root, "unlabeled"),
         "tiny_imagenet": lambda: _load_tiny_imagenet(data_root),
         "proc100": lambda: _load_proc100(data_root),
+        "proc100_hard": lambda: _load_proc100_hard(data_root),
         "proc10": lambda: _load_proc10(data_root),
         "proc_stl": lambda: _load_proc_stl(data_root),
         "proc_tin": lambda: _load_proc_tin(data_root),
     }
     sizes = {"cifar10": (32, 10), "cifar100": (32, 100),
              "stl10": (96, 10), "stl10_unlabeled": (96, 10),
-             "tiny_imagenet": (64, 200), "proc100": (32, 100),
+             "tiny_imagenet": (64, 200), "proc100": (32, 100), "proc100_hard": (32, 100),
              "proc10": (32, 10), "proc_stl": (96, 100),
              "proc_tin": (64, 200)}
     if name not in loaders:

@@ -85,6 +85,21 @@ PIPELINES = {
                     jitter=(0.4, 0.4, 0.4, 0.1), jitter_prob=1.0,
                     randaug_ops=2, randaug_magnitude=11,
                     erasing_prob=0.3),
+    # shortcut-free hard substrate under the flagship HQA aug knobs —
+    # the non-saturating convergence run (VERDICT r2 missing #1 lever)
+    "proc100_hard_hqa": _spec("proc100_hard", "proc100", crop_pad=4,
+                              rotation_deg=15.0,
+                              jitter=(0.5, 0.5, 0.5, 0.15),
+                              jitter_prob=0.9,
+                              randaug_ops=3, randaug_magnitude=10,
+                              erasing_prob=0.3,
+                              erasing_scale=(0.02, 0.4)),
+    # proc100 substrate under the DeiT/EXTREME aug knobs
+    # (QAViTV2_EXTREME.py:1091-1151) — lets the pure-QAViT multi-window
+    # variant train for real without egress
+    "proc100_deit": _spec("proc100", "proc100", crop_pad=4,
+                          randaug_ops=2, randaug_magnitude=9,
+                          erasing_prob=0.25),
     # procedural fallback dataset under the flagship HQA aug pipeline
     # (same knobs as cifar100_hqa; see qavit_tpu/data/procgen.py)
     "proc100_hqa": _spec("proc100", "proc100", crop_pad=4,

@@ -137,6 +137,45 @@ def test_proc_tin_process_and_preset():
     assert get_pipeline("proc_stl").aug.rrc_scale == (0.6, 1.0)
 
 
+def test_proc100_hard_removes_shortcuts():
+    """proc100_hard (VERDICT r2 missing #1 'harder proc tasks'): the
+    class-keyed palette is gone (color carries ~no class signal) while
+    the dominant-frequency cue survives the distractor grating."""
+    from qavit_tpu.configs import get_preset
+    from qavit_tpu.data.pipelines import get_pipeline
+    from qavit_tpu.data.procgen import generate_proc100
+
+    xe, ye = generate_proc100(2000, seed=11, hard=False)
+    xh, yh = generate_proc100(2000, seed=11, hard=True)
+    assert xh.shape == (2000, 32, 32, 3) and xh.dtype == np.uint8
+
+    def class_color_spread(x, y):
+        means = [x[y == c].astype(np.float32).reshape(-1, 3).mean(0)
+                 for c in range(100) if (y == c).sum() > 3]
+        return float(np.std(np.stack(means), axis=0).mean())
+
+    # easy: palette separates classes (~34); hard: residual spread is
+    # per-class sampling noise of a class-independent color draw (~8)
+    assert class_color_spread(xh, yh) < 0.4 * class_color_spread(xe, ye)
+
+    def rowdiff(imgs):
+        f = imgs.astype(np.float32)
+        return float(np.abs(np.diff(f, axis=1)).mean())
+
+    # the label's grating dominates the distractor by construction, so
+    # vertical-frequency ordering is still visible through it
+    assert rowdiff(xh[yh >= 90]) > 1.15 * rowdiff(xh[yh < 10])
+
+    p = get_preset("hqavit_proc100_hard")
+    assert p.dataset == "proc100_hard_hqa"
+    assert get_pipeline("proc100_hard_hqa").base_dataset == "proc100_hard"
+
+    px = get_preset("qavit_v2_extreme_proc100")
+    assert px.dataset == "proc100_deit"
+    assert px.train.subtree_clip_norm == 0.1
+    assert get_pipeline("proc100_deit").base_dataset == "proc100"
+
+
 def test_translate_integer_matches_roll():
     """Matmul-resample translate at integer pixels == exact shift with
     zero fill (the behaviour the flat-gather implementation had)."""

@@ -33,9 +33,13 @@ def _ln_p(key, f):
 @pytest.fixture(scope="module")
 def block_params(flagship_geom):
     """Full explicit block param tree at flagship geometry + inputs."""
-    g = flagship_geom
+    return _make_block_params(flagship_geom,
+                              get_preset("hqavit_c100").model)
+
+
+def _make_block_params(g, cfg):
+    """Explicit block param tree + inputs at any fused geometry."""
     c = g.c
-    cfg = get_preset("hqavit_c100").model
     ks = iter(jax.random.split(jax.random.PRNGKey(0), 64))
     nrm = jax.random.normal
     p = {
@@ -44,8 +48,8 @@ def block_params(flagship_geom):
                 "proj": _dense_p(next(ks), c, c),
                 "norm": _ln_p(next(ks), c),
                 "linformer": {
-                    "E_k": 0.02 * nrm(next(ks), (g.n, g.lin_k)),
-                    "E_v": 0.02 * nrm(next(ks), (g.n, g.lin_k))}},
+                    "E_k": 0.02 * nrm(next(ks), (g.ws2, g.lin_k)),
+                    "E_v": 0.02 * nrm(next(ks), (g.ws2, g.lin_k))}},
         "msda": {"qkv_kernel": 0.05 * nrm(next(ks), (c, 3 * c)),
                  "qkv_bias": 0.01 * nrm(next(ks), (3 * c,)),
                  "proj": _dense_p(next(ks), c, c),
@@ -169,6 +173,31 @@ def test_bd_core_matches_ref_with_dropout(flagship_geom, block_params):
         b = _run_bd(branch, prep, bp, g, G, rng)
         np.testing.assert_allclose(np.asarray(b[0]), np.asarray(r[0]),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_bd_core_dropout_parity_multiwindow():
+    """HostRng at a MULTI-WINDOW geometry (qavit_v2_c100: n=64, nw=4):
+    the window-major mask expansion (`_swa_expand`) and the swa_proj
+    window-reverse reorder reproduce the windowed twin's dropout
+    realizations in the block-diagonal layout (ADVICE r2 low — was
+    only exercised at nw==1)."""
+    cfg = get_preset("qavit_v2_c100").model
+    g = make_geom(cfg)
+    assert g is not None and g.nw == 4
+    bp = _make_block_params(g, cfg)
+    G = C.pick_group(8)
+    bp["xn"] = bp["xn"][:8]
+    prep = C.prep_block(bp["p"], g, G)
+    masks = R.make_block_masks(jax.random.PRNGKey(7), 8, g, 0.1, True)
+    rng = C.HostRng(masks, g, G)
+    for branch, mk in [("swa", ("swa_attn", "swa_proj")),
+                       ("cga", ("cga_attn", "cga_proj")),
+                       ("msda", ("msda_attn", "msda_proj"))]:
+        r = _run_ref(branch, bp, g, masks=(masks[mk[0]], masks[mk[1]]))
+        b = _run_bd(branch, prep, bp, g, G, rng)
+        np.testing.assert_allclose(np.asarray(b[0]), np.asarray(r[0]),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=branch)
 
 
 def test_dwconv_shift_matches_lax_conv(rng):
