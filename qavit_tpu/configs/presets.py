@@ -199,6 +199,18 @@ def _hqavit_proc100() -> Preset:
                   "proc100_hqa")
 
 
+def _qavit_v2_extreme_tin() -> Preset:
+    """QAViTv2-EXTREME at TinyImageNet shape (64px p4 -> 256 tokens,
+    window 4 -> 16 windows, 200 classes) on the proc_tin substrate —
+    the last BASELINE.json config combination ('QAViTv2_EXTREME on
+    Tiny-ImageNet').  No reference script pairs them; knobs follow
+    QAViTV2_EXTREME.py:41 with the Tiny-IN aug (HQAViT_IN_Tiny.py:1500)."""
+    p = _qavit_v2_extreme()
+    model = p.model.replace(name="qavit_v2_extreme_tin", img_size=64,
+                            num_classes=200)
+    return Preset(model, p.train, "proc_tin")
+
+
 def _hqavit_proc100_hard() -> Preset:
     """Flagship recipe on the shortcut-free proc100_hard substrate
     (per-sample palette, wrong-class distractor, occlusion) — built to
@@ -221,6 +233,7 @@ def _qavit_v2_extreme_proc100() -> Preset:
 PRESETS = {
     "qavit_224_v1": _qavit_224_v1,
     "qavit_v2_extreme_proc100": _qavit_v2_extreme_proc100,
+    "qavit_v2_extreme_tin": _qavit_v2_extreme_tin,
     "qavit_v2": _qavit_v2,
     "qavit_v2_c100": _qavit_v2_c100,
     "qavit_v2_extreme": _qavit_v2_extreme,
