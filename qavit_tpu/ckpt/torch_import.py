@@ -56,13 +56,17 @@ _SEG_MAP = {
     "down3_conv": "downsample3.1",
 }
 
+# Linear weights are ALWAYS [out,in] in torch and must always be
+# transposed — shape-based detection breaks for square weights (the
+# v1 bank's write_compression is [192,192] and imported untransposed
+# until round 4; bank K was off by ~0.02 while V matched at 5e-7).
 _BANK_MAP = {
-    "write_norm_scale": "write_norm.weight",
-    "write_norm_bias": "write_norm.bias",
-    "write_compression_kernel": "write_compression.weight",
-    "write_compression_bias": "write_compression.bias",
-    "write_gate_kernel": "write_gate.weight",
-    "write_gate_bias": "write_gate.bias",
+    "write_norm_scale": ("write_norm.weight", "as_is"),
+    "write_norm_bias": ("write_norm.bias", "as_is"),
+    "write_compression_kernel": ("write_compression.weight", "dense_t"),
+    "write_compression_bias": ("write_compression.bias", "as_is"),
+    "write_gate_kernel": ("write_gate.weight", "dense_t"),
+    "write_gate_bias": ("write_gate.bias", "as_is"),
 }
 
 
@@ -81,7 +85,8 @@ def _leaf_to_torch(path: Tuple[str, ...]) -> Tuple[str, str]:
     """Map a flax param path (scope..., leaf) to (torch key, kind)."""
     *scopes, leaf = path
     if scopes and scopes[0] == "global_bank" and leaf in _BANK_MAP:
-        return "global_bank." + _BANK_MAP[leaf], "maybe_transpose"
+        tkey, kind = _BANK_MAP[leaf]
+        return "global_bank." + tkey, kind
     segs = [_SEG_MAP.get(s, s) for s in scopes]
     if leaf == "kernel":
         return ".".join(segs + ["weight"]), "kernel"
@@ -115,9 +120,6 @@ def _transform(tv: np.ndarray, target_shape, kind: str) -> np.ndarray:
             tv = tv.T                              # Linear [out,in]->[in,out]
     elif kind == "dense_t":
         tv = tv.T
-    elif kind == "maybe_transpose":
-        if tv.ndim == 2 and tv.shape != tuple(target_shape):
-            tv = tv.T
     if (kind == "as_is" and tv.ndim == 3 and len(target_shape) == 3
             and tuple(tv.shape) != tuple(target_shape)):
         # spatial LayerNorm affine: torch [C, H, W] -> NHWC [H, W, C]

@@ -82,8 +82,12 @@ class ModelConfig:
     bank: BankConfig = field(default_factory=BankConfig)
 
     # Variant flags (v1 = QAViT.py, v2 = stabilised QAViTv2 / HQAViT)
-    stabilized_dwconv: bool = True   # kaiming/sqrt(dim) init, no bias, 0.1 scale
+    stabilized_dwconv: bool = True   # kaiming/sqrt(dim) init, 0.1 scale
     stabilized_ccfffn: bool = True   # LN around dwconv + learnable gamma 0.1
+    # QAViTv2.py:861 keeps bias=True in its stabilised dwconv ("Add bias
+    # for stability"); the later 32px v2 files drop it (bias=False,
+    # QAViTv2_CIFAR100.py:885).  Only the qavit_v2 224 preset sets True.
+    dwconv_bias: bool = False
 
     # --- HQA hybrid side path (absent in plain QAViT presets) ---
     hybrid: bool = True

@@ -810,10 +810,10 @@ def tail_bd(prep, xc, outs, g: FusedGeom, dtype, rng):
         y = R.layer_norm(y, f["dwconv_norm"], dtype)
     dw = f["dwconv"]
     y = R.dwconv3x3_ref(y, dw["dwconv"]["kernel"], (hw, hw), dtype)
+    if "bias" in dw["dwconv"]:          # conv bias precedes the 0.1 scale
+        y = y + dw["dwconv"]["bias"].astype(y.dtype)
     if g.stabilized_dwconv:
         y = y * dw["scale"].astype(y.dtype)
-    else:
-        y = y + dw["dwconv"]["bias"].astype(y.dtype)
     if g.stabilized_ccfffn:
         y = R.layer_norm(y, f["post_dwconv_norm"], dtype)
     y = R.dense(y, {"kernel": f["fc2"]["kernel"].astype(dtype),

@@ -150,10 +150,12 @@ class DWConvP(nn.Module):
 
     dim: int
     stabilized: bool
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self):
-        out = {"dwconv": ConvP(self.dim, not self.stabilized,
+        out = {"dwconv": ConvP(self.dim,
+                               self.use_bias or not self.stabilized,
                                name="dwconv")()}
         if self.stabilized:
             out["scale"] = self.param("scale",
@@ -174,7 +176,7 @@ class CCFFFNP(nn.Module):
         if g.stabilized_ccfffn:
             out["dwconv_norm"] = LNP(hidden, name="dwconv_norm")()
         out["dwconv"] = DWConvP(hidden, g.stabilized_dwconv,
-                                name="dwconv")()
+                                use_bias=g.dwconv_bias, name="dwconv")()
         if g.stabilized_ccfffn:
             out["post_dwconv_norm"] = LNP(hidden,
                                           name="post_dwconv_norm")()

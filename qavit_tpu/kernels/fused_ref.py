@@ -52,6 +52,7 @@ class FusedGeom(NamedTuple):
     dropout: float
     stabilized_ccfffn: bool
     stabilized_dwconv: bool
+    dwconv_bias: bool       # QAViTv2.py:861 stabilised-with-bias variant
     guard_nans: bool
     use_token_learner: bool
 
@@ -99,6 +100,7 @@ def make_geom(cfg: ModelConfig) -> Optional[FusedGeom]:
         dropout=cfg.dropout,
         stabilized_ccfffn=cfg.stabilized_ccfffn,
         stabilized_dwconv=cfg.stabilized_dwconv,
+        dwconv_bias=cfg.dwconv_bias,
         guard_nans=cfg.guard_nans,
         use_token_learner=cfg.use_token_learner,
     )
@@ -522,10 +524,10 @@ def tail_ref(p, xc, outs, g: FusedGeom, dtype, *,
         y = layer_norm(y, f["dwconv_norm"], dtype)
     dw = f["dwconv"]
     y = dwconv3x3_ref(y, dw["dwconv"]["kernel"], (hw, hw), dtype)
+    if "bias" in dw["dwconv"]:          # conv bias precedes the 0.1 scale
+        y = y + dw["dwconv"]["bias"].astype(y.dtype)
     if g.stabilized_dwconv:
         y = y * dw["scale"].astype(y.dtype)
-    else:
-        y = y + dw["dwconv"]["bias"].astype(y.dtype)
     if g.stabilized_ccfffn:
         y = layer_norm(y, f["post_dwconv_norm"], dtype)
     y = dense(y, f["fc2"], dtype)

@@ -112,6 +112,7 @@ class QuadAttentionBlock(nn.Module):
         ffn_out = CCFFFN(cfg.embed_dim, cfg.mlp_ratio, cfg.dropout,
                          stabilized=cfg.stabilized_ccfffn,
                          stabilized_dwconv=cfg.stabilized_dwconv,
+                         dwconv_bias=cfg.dwconv_bias,
                          dtype=self.dtype, name="ccf_ffn")(ffn_in, train)
         x = x + DropPath(name="drop_path2")(ffn_out, dpr, train)
         return (x, state), None

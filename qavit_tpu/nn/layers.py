@@ -165,6 +165,9 @@ class DepthwiseConv2d(nn.Module):
     dim: int
     kernel_size: int = 3
     stabilized: bool = True
+    # QAViTv2.py:861 keeps bias=True in its stabilised form; the 32px v2
+    # files use bias=False (QAViTv2_CIFAR100.py:885).  v1 always has bias.
+    use_bias: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -173,7 +176,8 @@ class DepthwiseConv2d(nn.Module):
         h, w = hw
         y = x.reshape(b, h, w, c)
         y = nn.Conv(c, (self.kernel_size, self.kernel_size), padding="SAME",
-                    feature_group_count=c, use_bias=not self.stabilized,
+                    feature_group_count=c,
+                    use_bias=self.use_bias or not self.stabilized,
                     dtype=self.dtype, kernel_init=conv_init,
                     name="dwconv")(y)
         if self.stabilized:
@@ -193,6 +197,7 @@ class CCFFFN(nn.Module):
     dropout: float = 0.1
     stabilized: bool = True
     stabilized_dwconv: bool = True
+    dwconv_bias: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -207,6 +212,7 @@ class CCFFFN(nn.Module):
             y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                              name="dwconv_norm")(y)
         y = DepthwiseConv2d(hidden, 3, stabilized=self.stabilized_dwconv,
+                            use_bias=self.dwconv_bias,
                             dtype=self.dtype, name="dwconv")(y, (hw, hw))
         if self.stabilized:
             y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
