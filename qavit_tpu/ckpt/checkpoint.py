@@ -153,12 +153,16 @@ def load_for_transfer(path: str, template_params,
                 if drop_head and name.startswith("head"):
                     continue
                 if name == "pos_embed" and v.shape != dst[k].shape:
-                    if new_grid is None:
-                        import math
+                    import math
 
+                    if new_grid is None:
                         new_grid_ = int(math.isqrt(dst[k].shape[1]))
                     else:
                         new_grid_ = new_grid
+                    print(f"transfer: bicubic pos_embed resize "
+                          f"{tuple(v.shape)} -> {tuple(dst[k].shape)} "
+                          f"(grid {math.isqrt(v.shape[1])} -> "
+                          f"{new_grid_}, HQAViT_Tiny_stl10.py:250-282)")
                     dst[k] = resize_pos_embed(jax.numpy.asarray(v),
                                               new_grid_).astype(dst[k].dtype)
                     continue

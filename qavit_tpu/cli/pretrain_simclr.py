@@ -22,7 +22,12 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=7)
     p.add_argument("--batch-size", type=int, default=256)
-    p.add_argument("--peak-lr", type=float, default=0.0424)
+    p.add_argument("--peak-lr", type=float, default=None,
+                   help="default is substrate-appropriate: 0.0424 for real "
+                        "STL-10 (recovered run metadata) but 0.005 for the "
+                        "proc substrates — the r3 sweep (logs/simclr_r3) "
+                        "showed 0.0424 collapses NT-Xent to the saddle on "
+                        "proc_stl by epoch 2")
     p.add_argument("--warmup-epochs", type=int, default=5)
     p.add_argument("--temperature", type=float, default=0.5)
     p.add_argument("--data-root", default="./data")
@@ -30,11 +35,17 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default="./checkpoints_simclr")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--pipeline", default="stl10_unlabeled",
-                   choices=["stl10_unlabeled", "proc_stl_unlabeled"],
+                   choices=["stl10_unlabeled", "proc_stl_unlabeled",
+                            "proc_stl50k_unlabeled"],
                    help="two-view aug pipeline + dataset; proc_stl is "
-                        "the no-egress 96px procedural substrate")
+                        "the no-egress 96px procedural substrate, "
+                        "proc_stl50k the 50k winning-regime pool")
     p.add_argument("--max-steps-per-epoch", type=int, default=None)
     args = p.parse_args(argv)
+    if args.peak_lr is None:
+        args.peak_lr = (0.0424 if args.pipeline == "stl10_unlabeled"
+                        else 0.005)
+        print(f"peak LR (substrate default): {args.peak_lr}")
     enable_compilation_cache()
 
     import optax

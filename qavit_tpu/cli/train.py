@@ -76,6 +76,10 @@ def parse_args(argv=None):
                    help="raveled-vector AdamW+clip+EMA (same math, ~1500 "
                         "fewer kernel launches per step; resume needs the "
                         "same setting the checkpoint was written with)")
+    p.add_argument("--labels-per-class", type=int, default=None,
+                   help="subsample the TRAIN split to the first K images "
+                        "of each class (label-scarce protocol for the "
+                        "SimCLR pretrain-vs-scratch comparison)")
     return p.parse_args(argv)
 
 
@@ -128,6 +132,12 @@ def main(argv=None):
     ds = load_dataset(pipe.base_dataset, data_root)
     if ds.synthetic:
         print("WARNING: dataset files not found -> synthetic data")
+
+    if args.labels_per_class:
+        from qavit_tpu.data.datasets import subsample_per_class
+        ds = subsample_per_class(ds, args.labels_per_class)
+        print(f"label-scarce: {args.labels_per_class}/class -> "
+              f"{len(ds.train_images)} train images")
 
     n_dev = jax.device_count()
     mesh = make_mesh() if n_dev > 1 else None
@@ -211,6 +221,21 @@ def main(argv=None):
                                    simclr=True)
         variables = dict(variables)
         variables["params"] = params
+
+    if tc.lr_groups is not None:
+        # log the per-group LR multipliers the way the reference prints
+        # its param groups (HQAViT_C100_Finetune.py:188-227)
+        from qavit_tpu.train.optim import lr_group_multipliers
+        _mult = lr_group_multipliers(tc)
+        _groups = {}
+        for _p in jax.tree_util.tree_leaves_with_path(variables["params"]):
+            _path = "/".join(getattr(k, "key", str(k)) for k in _p[0])
+            _groups.setdefault(_mult(_path), []).append(_path)
+        print(f"LR groups ({tc.lr_groups}):")
+        for _m in sorted(_groups, reverse=True):
+            _ex = _groups[_m][0].rsplit("/", 1)[0]
+            print(f"  x{_m:<6g} {len(_groups[_m]):4d} params  "
+                  f"(e.g. {_ex})")
 
     sched = make_schedule(tc, steps_per_epoch)
     tx = make_optimizer(tc, steps_per_epoch, sched)

@@ -44,8 +44,30 @@ def _qavit_v2() -> Preset:
     model = p.model.replace(
         name="qavit_v2", bank=BankConfig(),
         stabilized_dwconv=True, stabilized_ccfffn=True,
+        # QAViTv2.py:861 keeps the dwconv bias in its stabilised form
+        # ("Add bias for stability"); the 32px successors drop it.
+        dwconv_bias=True,
     )
     return Preset(model, p.train, "cifar100_224")
+
+
+def _qavit_224_v1_proc() -> Preset:
+    """The v1 224 recipe on the proc224 substrate — the no-egress run of
+    the reference's primary QAViT training (QAViT.py:705-752): first
+    training whose geometry (N=196 queries) crosses the Pallas
+    flash-attention dispatch threshold (kernels/attention.py)."""
+    p = _qavit_224_v1()
+    train = p.train.replace(batch_size=256)
+    return Preset(p.model.replace(name="qavit_224_v1_proc"), train,
+                  "proc224")
+
+
+def _qavit_v2_proc224() -> Preset:
+    """QAViTv2 @224 (QAViTv2.py:1011 knobs) on the proc224 substrate."""
+    p = _qavit_v2()
+    train = p.train.replace(batch_size=256)
+    return Preset(p.model.replace(name="qavit_v2_proc224"), train,
+                  "proc224")
 
 
 def _qavit_v2_c100() -> Preset:
@@ -127,6 +149,16 @@ def _hqavit_c100_finetune() -> Preset:
     )
     return Preset(p.model.replace(name="hqavit_c100_finetune"), train,
                   "cifar100_hqa")
+
+
+def _hqavit_proc100_hard_finetune() -> Preset:
+    """The finetune stage (HQAViT_C100_Finetune.py: warm restarts +
+    layer-wise LR groups + TTA) run in anger on the only non-saturating
+    substrate this host can reach — takes the proc100_hard pretrain
+    checkpoint via --init-from (VERDICT r3 missing #2)."""
+    p = _hqavit_c100_finetune()
+    return Preset(p.model.replace(name="hqavit_proc100_hard_finetune"),
+                  p.train, "proc100_hard_hqa")
 
 
 def _hqavit_tiny_cifar10() -> Preset:
@@ -232,6 +264,9 @@ def _qavit_v2_extreme_proc100() -> Preset:
 
 PRESETS = {
     "qavit_224_v1": _qavit_224_v1,
+    "qavit_224_v1_proc": _qavit_224_v1_proc,
+    "qavit_v2_proc224": _qavit_v2_proc224,
+    "hqavit_proc100_hard_finetune": _hqavit_proc100_hard_finetune,
     "qavit_v2_extreme_proc100": _qavit_v2_extreme_proc100,
     "qavit_v2_extreme_tin": _qavit_v2_extreme_tin,
     "qavit_v2": _qavit_v2,

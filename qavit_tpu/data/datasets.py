@@ -198,11 +198,41 @@ def _load_proc_stl(root: str) -> Dataset:
     return Dataset("proc_stl", tr_x, tr_y, te_x, te_y, 100)
 
 
+def _load_proc224(root: str) -> Dataset:
+    from qavit_tpu.data.procgen import load_or_generate_proc224
+
+    tr_x, tr_y, te_x, te_y = load_or_generate_proc224(root)
+    return Dataset("proc224", tr_x, tr_y, te_x, te_y, 100)
+
+
+def _load_proc_stl50k(root: str) -> Dataset:
+    from qavit_tpu.data.procgen import load_or_generate_proc_stl50k
+
+    tr_x, tr_y, te_x, te_y = load_or_generate_proc_stl50k(root)
+    return Dataset("proc_stl50k", tr_x, tr_y, te_x, te_y, 100)
+
+
 def _load_proc_tin(root: str) -> Dataset:
     from qavit_tpu.data.procgen import load_or_generate_proc_tin
 
     tr_x, tr_y, te_x, te_y = load_or_generate_proc_tin(root)
     return Dataset("proc_tin", tr_x, tr_y, te_x, te_y, 200)
+
+
+def subsample_per_class(ds: Dataset, k: int) -> Dataset:
+    """Label-scarce protocol: keep the first ``k`` occurrences of each
+    class (in dataset order) so every arm of a pretrain-vs-scratch
+    comparison sees the SAME labeled subset.  Reference analogue: STL-10
+    trains on 500 labels/class against 100k unlabeled images."""
+    import dataclasses
+
+    y = np.asarray(ds.train_labels)
+    order = np.argsort(y, kind="stable")
+    starts = np.unique(y[order], return_index=True)[1][1:]
+    keep = np.sort(np.concatenate(
+        [idx[:k] for idx in np.split(order, starts)]))
+    return dataclasses.replace(ds, train_images=ds.train_images[keep],
+                               train_labels=ds.train_labels[keep])
 
 
 def load_dataset(name: str, data_root: str = "./data",
@@ -219,13 +249,16 @@ def load_dataset(name: str, data_root: str = "./data",
         "proc100_hard": lambda: _load_proc100_hard(data_root),
         "proc10": lambda: _load_proc10(data_root),
         "proc_stl": lambda: _load_proc_stl(data_root),
+        "proc_stl50k": lambda: _load_proc_stl50k(data_root),
         "proc_tin": lambda: _load_proc_tin(data_root),
+        "proc224": lambda: _load_proc224(data_root),
     }
     sizes = {"cifar10": (32, 10), "cifar100": (32, 100),
              "stl10": (96, 10), "stl10_unlabeled": (96, 10),
              "tiny_imagenet": (64, 200), "proc100": (32, 100), "proc100_hard": (32, 100),
              "proc10": (32, 10), "proc_stl": (96, 100),
-             "proc_tin": (64, 200)}
+             "proc_stl50k": (96, 100),
+             "proc_tin": (64, 200), "proc224": (224, 100)}
     if name not in loaders:
         raise KeyError(f"unknown dataset {name!r}")
     ds = loaders[name]()

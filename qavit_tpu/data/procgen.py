@@ -76,17 +76,30 @@ def generate_proc100(n: int, seed: int, img_size: int = 32,
         hi = min(lo + batch, n)
         m = hi - lo
         y = labels[lo:hi]
-
-        ph_d = rng.uniform(0, 2 * np.pi, (m, 1, 1)).astype(np.float32)
-        harm = rng.uniform(0.0, 0.3, (m, 1, 1)).astype(np.float32)
         two_pi = np.float32(2 * np.pi)
 
-        g = grating(y, m, 0.7, 1.0)
         if hard:
+            ph_d = rng.uniform(0, 2 * np.pi, (m, 1, 1)).astype(np.float32)
+            harm = rng.uniform(0.0, 0.3, (m, 1, 1)).astype(np.float32)
+            g = grating(y, m, 0.7, 1.0)
             # distractor grating from a random WRONG class, weaker by
             # construction — the model must pick the dominant frequency
             y_wrong = (y + rng.randint(1, num_classes, m)) % num_classes
             g = g + grating(y_wrong.astype(np.int32), m, 0.2, 0.5)
+        else:
+            # the original per-batch draw order (ph_x, ph_y, ph_d, amp,
+            # harm) is load-bearing: the documented seeds must regenerate
+            # the committed proc100/proc10/proc_stl/proc_tin caches
+            # bit-identically (ADVICE r3)
+            ph_x = rng.uniform(0, 2 * np.pi, (m, 1, 1)).astype(np.float32)
+            ph_y = rng.uniform(0, 2 * np.pi, (m, 1, 1)).astype(np.float32)
+            ph_d = rng.uniform(0, 2 * np.pi, (m, 1, 1)).astype(np.float32)
+            amp = rng.uniform(0.7, 1.0, (m, 1, 1)).astype(np.float32)
+            harm = rng.uniform(0.0, 0.3, (m, 1, 1)).astype(np.float32)
+            f_x = (1 + y % 10).astype(np.float32)[:, None, None]
+            f_y = (1 + y // 10).astype(np.float32)[:, None, None]
+            g = amp * (np.cos(two_pi * f_x * xx + ph_x)
+                       * np.cos(two_pi * f_y * yy + ph_y))
         # nuisance diagonal harmonic at a class-independent frequency
         g = g + harm * np.cos(two_pi * 3.0 * (xx + yy) + ph_d)
         g = (g + 1.8) / 3.6 if hard else (g + 1.3) / 2.6     # -> ~[0, 1]
@@ -193,6 +206,49 @@ def load_or_generate_proc_tin(data_root: str, n_train: int = 100000,
                                   num_classes=200)
     te_x, te_y = generate_proc100(n_test, seed=5, img_size=64,
                                   num_classes=200)
+    os.makedirs(data_root, exist_ok=True)
+    np.savez_compressed(cache, train_images=tr_x, train_labels=tr_y,
+                        test_images=te_x, test_labels=te_y)
+    return tr_x, tr_y, te_x, te_y
+
+
+def load_or_generate_proc224(data_root: str, n_train: int = 10000,
+                             n_test: int = 2000):
+    """proc224: the proc100 process rendered natively at 224px — the
+    no-egress substrate for the reference's primary 224-geometry recipes
+    (QAViT.py:705-752 resizes CIFAR to 224; we render at 224 directly).
+    10k/2k keeps the uint8 pool HBM-resident (1.5 GB) while giving
+    39 B=256 steps/epoch.  Generation batches are small: a 4096-image
+    float32 batch at 224 would be ~2.4 GB."""
+    cache = Path(data_root) / "proc224.npz"
+    if cache.exists():
+        z = np.load(cache)
+        return (z["train_images"], z["train_labels"],
+                z["test_images"], z["test_labels"])
+    tr_x, tr_y = generate_proc100(n_train, seed=8, img_size=224, batch=512)
+    te_x, te_y = generate_proc100(n_test, seed=9, img_size=224, batch=512)
+    os.makedirs(data_root, exist_ok=True)
+    np.savez_compressed(cache, train_images=tr_x, train_labels=tr_y,
+                        test_images=te_x, test_labels=te_y)
+    return tr_x, tr_y, te_x, te_y
+
+
+def load_or_generate_proc_stl50k(data_root: str, n_train: int = 50000,
+                                 n_test: int = 1000):
+    """proc_stl50k: a 50k-image 96px pool — the SimCLR *winning-regime*
+    pretraining corpus (VERDICT r3 missing #5).  The 5k proc_stl pool
+    undertrains NT-Xent (best 4.64 over 40 epochs); the reference's
+    STL-10 unlabeled split is 100k images and reaches 1.80
+    (logs_stl10_simclr).  Labels exist only for the loader interface —
+    SimCLR never reads them; the label-scarce finetune uses proc_stl's
+    own labeled 5k split instead."""
+    cache = Path(data_root) / "proc_stl50k.npz"
+    if cache.exists():
+        z = np.load(cache)
+        return (z["train_images"], z["train_labels"],
+                z["test_images"], z["test_labels"])
+    tr_x, tr_y = generate_proc100(n_train, seed=10, img_size=96, batch=1024)
+    te_x, te_y = generate_proc100(n_test, seed=11, img_size=96, batch=1024)
     os.makedirs(data_root, exist_ok=True)
     np.savez_compressed(cache, train_images=tr_x, train_labels=tr_y,
                         test_images=te_x, test_labels=te_y)

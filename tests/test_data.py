@@ -137,6 +137,51 @@ def test_proc_tin_process_and_preset():
     assert get_pipeline("proc_stl").aug.rrc_scale == (0.6, 1.0)
 
 
+def test_proc224_and_stl50k_registration():
+    """Round-4 substrates: proc224 (the 224-geometry training, VERDICT r3
+    missing #4) and proc_stl50k (the SimCLR winning-regime pool, #5)."""
+    from qavit_tpu.configs import get_preset
+    from qavit_tpu.data.pipelines import get_pipeline
+    from qavit_tpu.data.procgen import generate_proc100
+
+    x, y = generate_proc100(8, seed=8, img_size=224, batch=4)
+    assert x.shape == (8, 224, 224, 3) and x.dtype == np.uint8
+
+    p = get_preset("qavit_224_v1_proc")
+    assert p.dataset == "proc224" and p.model.img_size == 224
+    assert p.model.num_patches == 196       # crosses the Pallas dispatch
+    assert get_pipeline("proc224").aug.crop_pad == 28  # QAViT.py:705-752
+
+    p2 = get_preset("qavit_v2_proc224")
+    assert p2.model.stabilized_dwconv and p2.model.dwconv_bias
+
+    pf = get_preset("hqavit_proc100_hard_finetune")
+    assert pf.dataset == "proc100_hard_hqa"
+    assert pf.train.schedule == "warm_restarts"
+    assert pf.train.lr_groups == "layerwise"
+
+    spec = get_pipeline("proc_stl50k_unlabeled")
+    assert spec.base_dataset == "proc_stl50k"
+    assert spec.aug.rrc_scale == (0.2, 1.0)
+
+
+def test_subsample_per_class():
+    from qavit_tpu.data.datasets import Dataset, subsample_per_class
+
+    n = 60
+    y = np.arange(n) % 3                      # 20 per class, interleaved
+    x = np.arange(n, dtype=np.uint8).reshape(n, 1, 1, 1)
+    ds = Dataset("t", x, y, x[:3], y[:3], 3)
+    sub = subsample_per_class(ds, 5)
+    assert len(sub.train_images) == 15
+    assert np.bincount(sub.train_labels, minlength=3).tolist() == [5, 5, 5]
+    # deterministic: first K in dataset order for every class
+    assert sub.train_images.ravel().tolist() == sorted(
+        list(range(0, 15)))
+    # val split untouched
+    assert len(sub.test_images) == 3
+
+
 def test_proc100_hard_removes_shortcuts():
     """proc100_hard (VERDICT r2 missing #1 'harder proc tasks'): the
     class-keyed palette is gone (color carries ~no class signal) while
