@@ -29,8 +29,9 @@ def parse_args(argv=None):
     p.add_argument("--gradcam", action="store_true")
     p.add_argument("--gradcam-images", type=int, default=30)
     p.add_argument("--rollout", action="store_true",
-                   help="write attention-rollout overlay PNGs "
-                        "(hybrid TokenLearner models)")
+                   help="write attention-rollout overlay PNGs (pure QAViT "
+                        "or hybrid TokenLearner models)")
+    p.add_argument("--rollout-images", type=int, default=30)
     p.add_argument("--tta", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     return p.parse_args(argv)
@@ -114,21 +115,26 @@ def main(argv=None):
                                    args.gradcam_images)
         print(f"wrote {len(written)} grad-cam pairs")
 
-    if args.rollout:
+    if args.rollout and mc.hybrid and not mc.use_token_learner:
+        # no positional mixing map exists for this family — fail soft so a
+        # co-requested --tta still runs (interpret/rollout.py docstring)
+        print("rollout skipped: hybrid models without a TokenLearner have "
+              "no positional mixing map — use --gradcam instead")
+    elif args.rollout:
         # attention-rollout overlays (BASELINE.json names the hook; the
         # reference repo lacks it — see interpret/rollout.py)
         from qavit_tpu.interpret import attention_rollout
         from qavit_tpu.interpret.gradcam import save_gradcam_overlay
 
-        n_img = args.gradcam_images
+        n_img = args.rollout_images
         imgs_u8 = ds.test_images[:n_img]
         imgs_norm = np.asarray(eval_batch(jnp.asarray(imgs_u8), pipe.aug))
-        variables = {"params": state.params,
+        roll_vars = {"params": state.params,
                      **({"batch_stats": state.batch_stats}
                         if state.batch_stats else {})}
         n_written = 0
         for idx in range(len(imgs_u8)):
-            sal = attention_rollout(model, variables, imgs_norm[idx])
+            sal = attention_rollout(model, roll_vars, imgs_norm[idx])
             pred = int(preds[idx])
             true = int(ds.test_labels[idx])
             save_gradcam_overlay(sal, np.asarray(imgs_u8[idx]),

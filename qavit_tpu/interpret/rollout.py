@@ -2,18 +2,30 @@
 
 The reference lacks rollout entirely (BASELINE.json names it; SURVEY.md
 §7).  Classic rollout multiplies per-layer NxN self-attention maps — but
-no branch of QA-ViT ever forms a positional NxN map: every key set is
-Linformer-compressed, landmark-pooled or a learned bank, so key indices
-are not token positions.  The one positionally-meaningful token-mixing map
-in the architecture is the TokenLearner/TokenUpMix pair wrapped around
-every block of the hybrid models:
+no branch of QA-ViT ever forms a positional NxN map directly: every key
+set is Linformer-compressed, landmark-pooled or a learned bank, so key
+indices are not token positions.  Two positionally-meaningful maps can be
+recovered:
 
-    out[n] = sum_m upmix[m, n] * block(...)[m],   in[m] = sum_n' W[n', m] x[n']
+* **Hybrid models (TokenLearner wrapper)**: the TokenLearner/TokenUpMix
+  pair around every block mixes tokens positionally —
 
-so the effective block mixing matrix is  T = |upmix|^T-normalised  @  W^T,
-an NxN positional map.  Rollout composes 0.5*T + 0.5*I across blocks
-(Abnar & Zuidema's residual correction) and mean-pools the query side
-(the models classify by mean pooling, not CLS).
+    out[n] = sum_m upmix[m, n] * block(...)[m],  in[m] = sum_n' W[n', m] x[n']
+
+  so the effective block mixing matrix is T = |upmix|^T-norm @ W^T.
+
+* **Pure QAViT (flat trunk)**: the SWA branch attends window queries to
+  Linformer-compressed window keys, k_c[m] = sum_j E_k[j, m] k[j] — the
+  compressed keys are linear in window positions, so attention mass on
+  compressed slot m is redistributed onto positions via
+  R[m, j] = |E_k[j, m]| / sum_j |E_k[j, m]|.  Per block this yields a
+  window-block-diagonal NxN map  M = A[:, :lin_k] @ R  (bank-key mass is
+  dropped and rows renormalised).  The q/k tensors are sown by the SWA
+  branch ("attn_q"/"attn_k" intermediates, nn/branches.py).
+
+Rollout composes 0.5*T + 0.5*I across blocks (Abnar & Zuidema's residual
+correction) and mean-pools the query side (the models classify by mean
+pooling, not CLS).
 """
 
 from __future__ import annotations
@@ -28,13 +40,98 @@ def _normalize_rows(m):
     return m / (m.sum(axis=-1, keepdims=True) + 1e-8)
 
 
-def attention_rollout(model, variables, image, bank_count=0) -> np.ndarray:
-    """Rollout saliency [H, W] in [0, 1] for one image (hybrid models with
-    TokenLearner only; raises otherwise)."""
+def _finish(rollout, n, image):
+    saliency = rollout.mean(axis=0)                  # mean-pooled queries
+    g = int(math.isqrt(n))
+    sal = saliency.reshape(g, g)
+    sal = sal - sal.min()
+    sal = sal / (sal.max() + 1e-8)
+    h, w_ = image.shape[:2]
+    return np.asarray(jax.image.resize(sal, (h, w_), method="bilinear"))
+
+
+def _swa_rollout(model, variables, image, bank_count) -> np.ndarray:
+    """Pure-QAViT rollout through the SWA branch (see module docstring)."""
+    from qavit_tpu.nn import build_model
+
     cfg = model.cfg
-    if not (cfg.hybrid and cfg.use_token_learner):
-        raise ValueError("attention rollout requires the TokenLearner "
-                         "wrapper (hybrid models); use grad_cam instead")
+    if cfg.attn_impl == "fused_block":
+        # the fused Pallas block never materialises q/k — rebuild on the
+        # per-module path (identical numerics, interpretability only)
+        model = build_model(cfg.replace(attn_impl="auto"))
+    x = image[None]
+    base_vars = {k: v for k, v in variables.items() if k != "perturbations"}
+    (_, _), inter = model.apply(
+        base_vars, x, train=False, bank_count=bank_count,
+        mutable=["intermediates"])
+
+    swa_inter = inter["intermediates"]["blocks"]["swa"]
+    q_all = jnp.asarray(swa_inter["attn_q"][0])      # [depth, nW, ws2, H, D]
+    k_all = jnp.asarray(swa_inter["attn_k"][0])      # [depth, nW, K, H, D]
+    e_k = jnp.asarray(
+        variables["params"]["blocks"]["swa"]["linformer"]["E_k"]
+    ).astype(jnp.float32)                            # [depth, ws2, lin_k]
+
+    n = cfg.num_patches
+    grid = int(math.isqrt(n))
+    ws = cfg.window_size
+    pad_grid = grid + (ws - grid % ws) % ws
+    nw_side = pad_grid // ws
+    lin_k = cfg.linformer_k
+
+    # flat token index for each (window, local position) pair, dropping
+    # padded positions (window partition layout, nn/branches.py:79-84)
+    win_tok = np.full((nw_side * nw_side, ws * ws), -1, np.int64)
+    for ihw in range(nw_side):
+        for iww in range(nw_side):
+            for lr in range(ws):
+                for lc in range(ws):
+                    r, c = ihw * ws + lr, iww * ws + lc
+                    if r < grid and c < grid:
+                        win_tok[ihw * nw_side + iww, lr * ws + lc] = (
+                            r * grid + c)
+
+    depth = q_all.shape[0]
+    rollout = jnp.eye(n)
+    for b in range(depth):
+        q = q_all[b].astype(jnp.float32)             # [nW, ws2, H, D]
+        k = k_all[b].astype(jnp.float32)             # [nW, K, H, D]
+        d = q.shape[-1]
+        logits = jnp.einsum("wnhd,wmhd->whnm", q, k) / math.sqrt(d)
+        attn = jax.nn.softmax(logits, axis=-1).mean(1)   # [nW, ws2, K]
+        # redistribute compressed-key mass back onto window positions
+        r_map = jnp.abs(e_k[b])                      # [ws2, lin_k]
+        r_map = r_map / (r_map.sum(0, keepdims=True) + 1e-8)
+        m_win = attn[..., :lin_k] @ r_map.T          # [nW, ws2, ws2]
+        m_win = _normalize_rows(m_win)
+        # scatter windows into the block-diagonal NxN positional map
+        t = np.zeros((n, n), np.float32)
+        for wi in range(win_tok.shape[0]):
+            toks = win_tok[wi]
+            valid = toks >= 0
+            tv = toks[valid]
+            sub = np.asarray(m_win[wi])[np.ix_(valid, valid)]
+            sub = sub / (sub.sum(-1, keepdims=True) + 1e-8)
+            t[np.ix_(tv, tv)] = sub
+        a = 0.5 * jnp.asarray(t) + 0.5 * jnp.eye(n)
+        rollout = a @ rollout
+
+    return _finish(rollout, n, image)
+
+
+def attention_rollout(model, variables, image, bank_count=0) -> np.ndarray:
+    """Rollout saliency [H, W] in [0, 1] for one image.
+
+    Hybrid models with TokenLearner use the learner/upmix positional map;
+    pure QAViT uses the SWA Linformer back-mapped attention.  Hybrid
+    models WITHOUT a TokenLearner have no positional mixing map — raises
+    (use grad_cam there)."""
+    cfg = model.cfg
+    if not cfg.hybrid:
+        return _swa_rollout(model, variables, image, bank_count)
+    if not cfg.use_token_learner:
+        raise ValueError("attention rollout on hybrid models requires the "
+                         "TokenLearner wrapper; use grad_cam instead")
     x = image[None]
     base_vars = {k: v for k, v in variables.items() if k != "perturbations"}
     (_, _), inter = model.apply(
@@ -62,10 +159,4 @@ def attention_rollout(model, variables, image, bank_count=0) -> np.ndarray:
             a = 0.5 * t + 0.5 * jnp.eye(n)
             rollout = a @ rollout
 
-    saliency = rollout.mean(axis=0)                  # mean-pooled queries
-    g = int(math.isqrt(n))
-    sal = saliency.reshape(g, g)
-    sal = sal - sal.min()
-    sal = sal / (sal.max() + 1e-8)
-    h, w_ = image.shape[:2]
-    return np.asarray(jax.image.resize(sal, (h, w_), method="bilinear"))
+    return _finish(rollout, n, image)

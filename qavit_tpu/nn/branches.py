@@ -101,6 +101,13 @@ class SpatialWindowAttention(nn.Module):
         k_full = jnp.concatenate([k_c, k_bank], axis=1)
         v_full = jnp.concatenate([v_c, v_bank], axis=1)
 
+        # interpretability taps (free: sow is a no-op unless the caller
+        # makes "intermediates" mutable) — rollout recomputes the softmax
+        # from these and maps it back to window positions via |E_k|
+        # (interpret/rollout.py)
+        self.sow("intermediates", "attn_q", q)
+        self.sow("intermediates", "attn_k", k_full)
+
         rng = self.make_rng("dropout") if train and cfg.dropout > 0 else None
         out = guarded_attention(q, k_full, v_full, dropout=cfg.dropout,
                                 train=train, rng=rng, impl=cfg.attn_impl,

