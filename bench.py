@@ -119,5 +119,36 @@ def main() -> None:
     }))
 
 
+def main_with_retry(attempts: int = 3) -> None:
+    """Retry wrapper: the axon remote-compile tunnel occasionally drops a
+    response mid-read (BENCH_r04 was an rc=1 `read body: response body
+    closed before all bytes were read` — the bench itself was healthy and
+    reproduced the round-3 number on rerun).  A transient transport error
+    must not become the round's recorded perf result, so transient
+    runtime errors restart the measurement (compile cache makes a retry
+    cheap)."""
+    import traceback
+
+    delays = [10, 30]
+    for attempt in range(attempts):
+        try:
+            main()
+            return
+        except Exception as e:  # noqa: BLE001 — classify, then re-raise
+            msg = f"{type(e).__name__}: {e}"
+            transient = any(s in msg for s in (
+                "remote_compile", "read body", "INTERNAL",
+                "UNAVAILABLE", "DEADLINE_EXCEEDED", "Connection",
+                "Socket closed"))
+            if not transient or attempt == attempts - 1:
+                raise
+            traceback.print_exc(file=sys.stderr)
+            delay = delays[min(attempt, len(delays) - 1)]
+            print(f"bench: transient backend error (attempt "
+                  f"{attempt + 1}/{attempts}), retrying in {delay}s",
+                  file=sys.stderr)
+            time.sleep(delay)
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retry()

@@ -99,13 +99,16 @@ def restore_train_state(path: str, template: TrainState
     def as_tree(x):
         return jax.tree.map(jax.numpy.asarray, x)
 
+    # slim retained checkpoints (retain_checkpoint) drop opt_state /
+    # step / ema_decay — fall back to the template's values for those
     state = template.replace(
-        step=jax.numpy.asarray(restored["step"]),
+        step=jax.numpy.asarray(restored.get("step", template.step)),
         params=as_tree(restored["params"]),
-        opt_state=restored["opt_state"],
+        opt_state=restored.get("opt_state", template.opt_state),
         batch_stats=as_tree(restored["batch_stats"]),
         bank_count=jax.numpy.asarray(restored["bank_count"]),
-        ema_decay=jax.numpy.asarray(restored["ema_decay"]),
+        ema_decay=jax.numpy.asarray(restored.get("ema_decay",
+                                                 template.ema_decay)),
         ema_params=(as_tree(restored["ema_params"])
                     if has_ema and "ema_params" in restored
                     else (as_tree(restored["params"]) if has_ema
@@ -117,13 +120,46 @@ def restore_train_state(path: str, template: TrainState
     return state, meta
 
 
+def _restore_numpy(state_dir: Path) -> Dict[str, Any]:
+    """Restore a checkpoint entirely as host numpy arrays.
+
+    A plain StandardCheckpointer restore materialises jax.Arrays with
+    the *saved* shardings — which fails outright when the checkpoint was
+    written on another backend (a TPU-saved flagship restored host-side
+    raises `Device TPU v5 lite0 was not found`), and on the remote-TPU
+    (axon) backend drags every leaf through the tunnel. Weight transfer
+    and retention are host-side operations; numpy is the right target.
+    """
+    import numpy as np
+
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.metadata(state_dir).item_metadata.tree
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ckptr.restore(state_dir, restore_args=restore_args)
+
+
 def load_for_transfer(path: str, template_params,
-                      drop_head: bool = True,
+                      drop_head="auto",
                       new_grid: Optional[int] = None,
-                      simclr: bool = False):
+                      simclr: bool = False,
+                      template_batch_stats=None,
+                      use_ema: bool = False):
     """Load pretrained params for finetuning: optional head drop
     ('head' not in k, HQAViT_Tiny_Cifar10.py:449-453) and positional
     embedding resize (HQAViT_Tiny_stl10.py:250-283).
+
+    ``drop_head`` is True / False / "auto".  "auto" mirrors the two
+    reference transfer modes at once: a same-task finetune loads the
+    whole state dict head included (HQAViT_C100_Finetune.py:404-408),
+    while a new-task transfer filters 'head' keys out — with "auto" the
+    head is kept exactly when its shapes match the template.
+
+    Passing ``template_batch_stats`` returns ``(params, batch_stats)``
+    with shape-matching BN running stats merged into the template — the
+    reference's torch checkpoints carry them inside the state dict, so
+    a finetune resumes from calibrated cnn_stem statistics rather than
+    fresh ones.
 
     ``simclr=True`` unwraps the backbone subtree out of a SimCLRNet
     checkpoint (projection head discarded) — the reconstructed analogue
@@ -132,13 +168,38 @@ def load_for_transfer(path: str, template_params,
     from qavit_tpu.nn.layers import resize_pos_embed
 
     path = Path(path).resolve()
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path / "state")
+    restored = _restore_numpy(path / "state")
     params = restored["params"]
+    if use_ema:
+        # the reference finetunes from best_model_ema.pth — the EMA
+        # weights become the starting model weights
+        # (HQAViT_C100_Finetune.py:404-408)
+        if "ema_params" in restored:
+            params = restored["ema_params"]
+            print("transfer: using EMA weights as the starting params")
+        else:
+            print("transfer: --init-ema requested but checkpoint has no "
+                  "ema_params; falling back to raw params")
     if simclr:
         from qavit_tpu.train.simclr import extract_backbone_params
 
         params = extract_backbone_params(params)
+
+    if drop_head == "auto":
+        def _shapes(tree, prefix=""):
+            out = {}
+            for k, v in tree.items():
+                name = f"{prefix}/{k}" if prefix else k
+                if isinstance(v, dict):
+                    out.update(_shapes(v, name))
+                elif name.startswith("head"):
+                    out[name] = tuple(v.shape)
+            return out
+        src_head, dst_head = _shapes(params), _shapes(template_params)
+        drop_head = src_head != dst_head
+        if not drop_head and src_head:
+            print("transfer: same-task head shapes match — head kept "
+                  "(HQAViT_C100_Finetune.py:404-408 semantics)")
 
     out = jax.tree.map(lambda x: x, template_params)  # copy structure
 
@@ -170,7 +231,54 @@ def load_for_transfer(path: str, template_params,
                     dst[k] = jax.numpy.asarray(v, dst[k].dtype)
         return dst
 
-    return merge(out, params)
+    merged = merge(out, params)
+    if template_batch_stats is not None:
+        bn_out = jax.tree.map(lambda x: x, template_batch_stats)
+        bstats = (restored.get("ema_batch_stats") if use_ema else None) \
+            or restored.get("batch_stats")
+
+        def merge_bn(dst, src):
+            for k, v in src.items():
+                if k not in dst:
+                    continue
+                if isinstance(v, dict):
+                    merge_bn(dst[k], v)
+                elif hasattr(v, "shape") and v.shape == dst[k].shape:
+                    dst[k] = jax.numpy.asarray(v, dst[k].dtype)
+            return dst
+
+        if bstats:
+            merge_bn(bn_out, bstats)
+        return merged, bn_out
+    return merged
+
+
+def retain_checkpoint(src: str, dst: str) -> None:
+    """Export a slim, git-retainable copy of a training checkpoint.
+
+    `checkpoints/` is gitignored (orbax full states carry optimizer
+    moments, ~92 MB/checkpoint) and twice now a flagship `best_model`
+    has been lost between rounds, forcing full regenerations (VERDICT r4
+    weak #5).  Policy: every flagship run's best_model is exported here
+    — weights only ({params, batch_stats, ema_params, ema_batch_stats,
+    bank_count}, about half the size, everything `load_for_transfer`
+    and evaluation consume; opt_state/step are dropped, so a retained
+    checkpoint seeds finetune/transfer/eval but not --resume) — into
+    the NON-ignored `checkpoints_keep/` and committed.
+    """
+    src_p, dst_p = Path(src).resolve(), Path(dst).resolve()
+    restored = _restore_numpy(src_p / "state")
+    slim = {k: restored[k]
+            for k in ("params", "batch_stats", "ema_params",
+                      "ema_batch_stats", "bank_count")
+            if k in restored and restored[k] is not None}
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(dst_p / "state", slim, force=True)
+    meta_f = src_p / "meta.json"
+    meta = json.loads(meta_f.read_text()) if meta_f.exists() else {}
+    meta["state_keys"] = sorted(slim.keys())
+    meta["retained_from"] = str(src_p)
+    (dst_p / "meta.json").write_text(json.dumps(meta, indent=2))
 
 
 class CheckpointManager:

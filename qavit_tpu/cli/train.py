@@ -41,6 +41,14 @@ def parse_args(argv=None):
     p.add_argument("--init-from-simclr", default=None,
                    help="SimCLR checkpoint: init the backbone from the "
                         "contrastive pretrain (projection head dropped)")
+    p.add_argument("--init-ema", action="store_true",
+                   help="with --init-from: start from the checkpoint's EMA "
+                        "weights, as the reference finetune does "
+                        "(HQAViT_C100_Finetune.py loads best_model_ema.pth)")
+    p.add_argument("--retain", default=None,
+                   help="after training, export a slim weights-only copy of "
+                        "best_model to checkpoints_keep/<name> (survives the "
+                        "gitignored checkpoints/; see retain_checkpoint)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--synthetic", action="store_true",
                    help="force synthetic data (no dataset files needed)")
@@ -210,10 +218,14 @@ def main(argv=None):
 
     if args.init_from:
         print(f"transfer init from {args.init_from}")
-        params = load_for_transfer(args.init_from, variables["params"],
-                                   drop_head=True)
+        params, bstats = load_for_transfer(
+            args.init_from, variables["params"], drop_head="auto",
+            template_batch_stats=variables.get("batch_stats") or {},
+            use_ema=args.init_ema)
         variables = dict(variables)
         variables["params"] = params
+        if bstats:
+            variables["batch_stats"] = bstats
     elif args.init_from_simclr:
         print(f"SimCLR backbone init from {args.init_from_simclr}")
         params = load_for_transfer(args.init_from_simclr,
@@ -452,6 +464,11 @@ def main(argv=None):
         logger.plot_transfer_summary(src_acc, source="pretrain",
                                      target=preset.dataset)
     print(f"Training complete! Best Val Acc: {ckpts.best_acc:.2f}%")
+    if args.retain and (ckpts.dir / "best_model" / "meta.json").exists():
+        from qavit_tpu.ckpt import retain_checkpoint
+        dst = f"checkpoints_keep/{args.retain}"
+        retain_checkpoint(ckpts.dir / "best_model", dst)
+        print(f"retained best_model -> {dst} (slim, git-committable)")
     return ckpts.best_acc
 
 

@@ -109,6 +109,82 @@ def test_load_for_transfer_drops_head_and_resizes(tiny_cfg, tiny_bundle,
         np.asarray(state.params["global_bank"]["global_k"]))
 
 
+def test_load_for_transfer_auto_keeps_same_task_head(tiny_cfg, tiny_bundle,
+                                                     tmp_path, rng):
+    """drop_head='auto': a same-task finetune keeps the trained head and
+    the BN running stats, matching the reference's full-state-dict load
+    (HQAViT_C100_Finetune.py:404-408)."""
+    from qavit_tpu.ckpt import load_for_transfer
+    from qavit_tpu.nn import init_model
+    from qavit_tpu.train import make_optimizer as mo
+    from qavit_tpu.configs import TrainingConfig
+
+    model, variables = tiny_bundle
+    tx = mo(TrainingConfig(donate=False), 10)
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"), use_ema=False)
+    save_train_state(tmp_path / "pre", state)
+
+    # same config, different init seed: shapes all match
+    _, v2 = init_model(tiny_cfg, jax.random.PRNGKey(7))
+    merged, bstats = load_for_transfer(
+        tmp_path / "pre", v2["params"], drop_head="auto",
+        template_batch_stats=v2.get("batch_stats") or {})
+    # head transferred (same class count)
+    np.testing.assert_array_equal(
+        np.asarray(merged["head"]["kernel"]),
+        np.asarray(state.params["head"]["kernel"]))
+    if state.batch_stats:
+        chk = jax.tree_util.tree_leaves(state.batch_stats)
+        got = jax.tree_util.tree_leaves(bstats)
+        for c, g in zip(chk, got):
+            np.testing.assert_array_equal(np.asarray(c), np.asarray(g))
+
+    # different class count -> auto drops the head
+    cfg3 = tiny_cfg.replace(num_classes=7)
+    _, v3 = init_model(cfg3, jax.random.PRNGKey(2))
+    merged3 = load_for_transfer(tmp_path / "pre", v3["params"],
+                                drop_head="auto")
+    assert merged3["head"]["kernel"].shape[-1] == 7
+
+
+def test_retain_checkpoint_roundtrip(tiny_cfg, tiny_bundle, tmp_path, rng):
+    """retain_checkpoint drops opt_state/step but the slim copy still
+    feeds load_for_transfer (incl. EMA weights) and restore_train_state
+    (template fallback for the dropped leaves)."""
+    from qavit_tpu.ckpt import (load_for_transfer, restore_train_state,
+                                retain_checkpoint)
+    from qavit_tpu.nn import init_model
+    from qavit_tpu.train import make_optimizer as mo
+    from qavit_tpu.configs import TrainingConfig
+
+    model, variables = tiny_bundle
+    tx = mo(TrainingConfig(donate=False), 10)
+    state = create_train_state(variables["params"], tx,
+                               variables.get("batch_stats"), use_ema=True)
+    save_train_state(tmp_path / "full", state,
+                     metrics={"epoch": 3, "val_acc": 88.5})
+    retain_checkpoint(tmp_path / "full", tmp_path / "slim")
+
+    meta = json.loads((tmp_path / "slim" / "meta.json").read_text())
+    assert "opt_state" not in meta["state_keys"]
+    assert meta["metrics"]["val_acc"] == 88.5
+
+    # transfer load: EMA weights selected when asked
+    _, v2 = init_model(tiny_cfg, jax.random.PRNGKey(9))
+    merged = load_for_transfer(tmp_path / "slim", v2["params"],
+                               drop_head="auto", use_ema=True)
+    np.testing.assert_array_equal(
+        np.asarray(merged["global_bank"]["global_k"]),
+        np.asarray(state.ema_params["global_bank"]["global_k"]))
+
+    # eval-path load: restore into a fresh template
+    restored, _ = restore_train_state(tmp_path / "slim", state)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["head"]["kernel"]),
+        np.asarray(state.params["head"]["kernel"]))
+
+
 def test_training_logger_schema(tmp_path):
     log = TrainingLogger(tmp_path)
     log.log_epoch(1, {"train_loss": 1.0, "train_acc": 10.0,
