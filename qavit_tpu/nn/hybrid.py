@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from qavit_tpu.nn.dwconv import MatmulDWConv
 from qavit_tpu.nn.layers import LN_EPS, DropPath, conv_init, dense_init
 
 
@@ -29,9 +30,8 @@ class ConvNeXtBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         # x: [B, H, W, C]
-        y = nn.Conv(self.dim, (7, 7), padding="SAME",
-                    feature_group_count=self.dim, dtype=self.dtype,
-                    kernel_init=conv_init, name="dwconv")(x)
+        y = MatmulDWConv(self.dim, (7, 7), dtype=self.dtype,
+                         name="dwconv")(x)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(y)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, kernel_init=dense_init,
                      name="pwconv1")(y)
@@ -166,12 +166,10 @@ class LMFAdapter(nn.Module):
     @nn.compact
     def __call__(self, feat):
         b, h, w, c = feat.shape
-        f1 = nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
-                     dtype=self.dtype, kernel_init=conv_init,
-                     name="dwconv_3x3")(feat)
-        f2 = nn.Conv(c, (5, 5), padding="SAME", feature_group_count=c,
-                     dtype=self.dtype, kernel_init=conv_init,
-                     name="dwconv_5x5")(feat)
+        f1 = MatmulDWConv(c, (3, 3), dtype=self.dtype,
+                          name="dwconv_3x3")(feat)
+        f2 = MatmulDWConv(c, (5, 5), dtype=self.dtype,
+                          name="dwconv_5x5")(feat)
         f_cat = jnp.concatenate([f1, f2, feat], axis=-1)
         f_proj = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype,
                          kernel_init=conv_init, name="proj")(f_cat)

@@ -175,11 +175,10 @@ class DepthwiseConv2d(nn.Module):
         b, n, c = x.shape
         h, w = hw
         y = x.reshape(b, h, w, c)
-        y = nn.Conv(c, (self.kernel_size, self.kernel_size), padding="SAME",
-                    feature_group_count=c,
-                    use_bias=self.use_bias or not self.stabilized,
-                    dtype=self.dtype, kernel_init=conv_init,
-                    name="dwconv")(y)
+        from qavit_tpu.nn.dwconv import MatmulDWConv
+        y = MatmulDWConv(c, (self.kernel_size, self.kernel_size),
+                         use_bias=self.use_bias or not self.stabilized,
+                         dtype=self.dtype, name="dwconv")(y)
         if self.stabilized:
             scale = self.param("scale",
                                nn.initializers.constant(0.1), (c,))
