@@ -41,6 +41,12 @@ def parse_args(argv=None):
     p.add_argument("--init-from-simclr", default=None,
                    help="SimCLR checkpoint: init the backbone from the "
                         "contrastive pretrain (projection head dropped)")
+    p.add_argument("--drop-head", action="store_true",
+                   help="with --init-from: force new-task semantics (drop "
+                        "the classifier head even when shapes match; "
+                        "HQAViT_Tiny_Cifar10.py:449-453) — 'auto' keeps a "
+                        "shape-matching head, which is wrong when the new "
+                        "task has a different label space of the same size")
     p.add_argument("--init-ema", action="store_true",
                    help="with --init-from: start from the checkpoint's EMA "
                         "weights, as the reference finetune does "
@@ -219,7 +225,8 @@ def main(argv=None):
     if args.init_from:
         print(f"transfer init from {args.init_from}")
         params, bstats = load_for_transfer(
-            args.init_from, variables["params"], drop_head="auto",
+            args.init_from, variables["params"],
+            drop_head=True if args.drop_head else "auto",
             template_batch_stats=variables.get("batch_stats") or {},
             use_ema=args.init_ema)
         variables = dict(variables)
