@@ -29,6 +29,12 @@ def main(argv=None):
                         "showed 0.0424 collapses NT-Xent to the saddle on "
                         "proc_stl by epoch 2")
     p.add_argument("--warmup-epochs", type=int, default=5)
+    p.add_argument("--init-from", default=None,
+                   help="continue from a prior simclr_epoch_N checkpoint "
+                        "(params + optimizer moments restored, schedule "
+                        "restarts — SGDR-style chained pretraining that "
+                        "reuses the compiled 5-epoch program instead of "
+                        "recompiling a longer schedule)")
     p.add_argument("--temperature", type=float, default=0.5)
     p.add_argument("--data-root", default="./data")
     p.add_argument("--log-dir", default="./logs_simclr")
@@ -94,6 +100,12 @@ def main(argv=None):
                      optax.adamw(sched, weight_decay=1e-6))
     state = create_train_state(variables["params"], tx,
                                variables.get("batch_stats"), use_ema=False)
+    if args.init_from:
+        from qavit_tpu.ckpt import restore_train_state
+
+        state, _ = restore_train_state(args.init_from, state)
+        state = state.replace(step=0)   # fresh (restarted) schedule
+        print(f"simclr: continuing from {args.init_from}")
     step = make_simclr_train_step(model, tx, preset.train,
                                   args.temperature, sched)
 
